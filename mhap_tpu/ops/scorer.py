@@ -1,0 +1,436 @@
+"""Stage-2 pair scorer: the two-pass merge automaton on device.
+
+Parity target: sketch/BottomOverlapSketch.java:397-630 + MatchData (:64-298).
+All device outputs are **integers** (intersection count, bottom-k size,
+valid-match count, UMVU edges); the float mash-identity conversion happens
+on the host in float64 so there is zero float-parity risk in the kernel
+(see pipeline/overlapper.py).
+
+TPU-native structure:
+
+* a *shared-hash prefilter* removes entries whose hash does not occur in the
+  other sketch.  This is exactly behavior-preserving: matches happen only on
+  shared hashes, duplicate-hash runs are single-hash so prefiltering never
+  splits a run, and the automaton's action on a non-shared entry is always a
+  bare cursor skip.  It shrinks the sequential merge from ~2*S steps to
+  ~#shared-hash entries (huge for candidate pairs that are not overlaps).
+* the merge itself is a ``lax.while_loop`` over per-lane cursors, vmapped
+  over a pair batch; duplicate-run extension, one-sided shift-window
+  advances and the (first,last)-of-run record rule follow the reference
+  exactly.
+* median shift / UMVU edges / shift windows are integer-exact:
+  Java's ``(int)(overlapSize * maxShiftPercent)`` is a fixed-point multiply
+  by the exact binary expansion of the double (validated host-side), and
+  ``Math.round(a/b)`` is ``floor((2a+b)/(2b))`` via integer long division.
+* the windowed bottom-k Jaccard merge has a closed form (per shared hash
+  value with multiplicities c1, c2: min(c1,c2) intersections then
+  |c1-c2| singles), computed fully vectorized with one sort + segment sums.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import u64
+
+I32 = jnp.int32
+U32 = jnp.uint32
+_IMAX = jnp.int32(0x7FFFFFFF)
+PAD_HASH = _IMAX
+
+
+def fixed_point_constant(p: float, max_ov: int = 1 << 22) -> tuple[int, int]:
+    """Exact binary expansion (m, s) of the double p: p == m / 2**s.
+
+    Verifies that floor(ov * m / 2**s) == (int)(double)(ov * p) for every
+    integer ov in [0, max_ov] (the Java semantics: double multiply, then
+    truncate).  Differences can only occur when the exact product lies
+    within one double-rounding step of an integer; those candidates are
+    checked exactly.
+    """
+    import numpy as np
+
+    if p < 0:
+        raise ValueError("max-shift percent must be >= 0 on device")
+    fr = Fraction(p)
+    m, den = fr.numerator, fr.denominator
+    s = den.bit_length() - 1
+    assert den == 1 << s
+    # candidate ovs where double rounding could cross an integer
+    ov = np.arange(1, max_ov + 1, dtype=np.float64)
+    prod = ov * np.float64(p)
+    frac = prod - np.floor(prod)
+    eps = np.maximum(np.spacing(prod) * 2, 1e-12)
+    cand = np.nonzero((frac < eps) | (frac > 1 - eps))[0] + 1
+    for o in cand[:100000]:
+        exact_floor = (int(o) * m) >> s
+        double_floor = int(float(int(o)) * p)
+        if exact_floor != double_floor:
+            raise ValueError(
+                f"max-shift {p!r} has floor(double) != floor(exact) at ov={o};"
+                " device scoring would diverge -- use the host scorer")
+    return m, s
+
+
+def _floor_mul(ov: jnp.ndarray, m: int, s: int) -> jnp.ndarray:
+    """floor(ov * m / 2**s) for uint32 ov, exact (96-bit intermediate)."""
+    ov = ov.astype(U32)
+    m0 = U32(m & 0xFFFFFFFF)
+    m1_int = (m >> 32) & 0xFFFFFFFF
+    h0, l0 = u64._mul32_full(ov, m0)
+    if m1_int:
+        h1, l1 = u64._mul32_full(ov, U32(m1_int))
+    else:
+        h1 = l1 = jnp.zeros_like(ov)
+    L0 = l0
+    t = h0 + l1
+    carry = (t < h0).astype(U32)
+    L1 = t
+    L2 = h1 + carry
+    if s == 0:
+        r = L0
+    elif s < 32:
+        r = (L0 >> U32(s)) | (L1 << U32(32 - s))
+    elif s == 32:
+        r = L1
+    elif s < 64:
+        r = (L1 >> U32(s - 32)) | (L2 << U32(64 - s))
+    elif s == 64:
+        r = L2
+    elif s < 96:
+        r = L2 >> U32(s - 64)
+    else:
+        r = jnp.zeros_like(ov)
+    return r.astype(I32)
+
+
+def _round_div(num_hi: jnp.ndarray, num_lo: jnp.ndarray, den: jnp.ndarray,
+               nbits: int = 48) -> jnp.ndarray:
+    """Java Math.round(num / den) == floor((2*num + den) / (2*den)).
+
+    num: signed 64-bit two's complement as (hi, lo) uint32 pair, |num| < 2**45.
+    den: positive int32 (< 2**31). Returns int32.
+    """
+    t = u64.add(u64.shl((num_hi, num_lo), 1), u64.from_u32(den.astype(U32)))
+    is_neg = (t[0] & U32(0x80000000)) != 0
+    mag = u64.select(is_neg, u64.neg(t), t)
+    d2 = den.astype(U32) << U32(1)
+    d2_u64 = u64.from_u32(d2)
+
+    def div_step(i, carry):
+        rem, q = carry
+        bit_idx = nbits - 1 - i  # traced int32, 0..nbits-1
+        hi_sel = bit_idx >= 32
+        sh_hi = jnp.uint32(jnp.clip(bit_idx - 32, 0, 31))
+        sh_lo = jnp.uint32(jnp.clip(bit_idx, 0, 31))
+        bit = jnp.where(hi_sel, (mag[0] >> sh_hi) & U32(1),
+                        (mag[1] >> sh_lo) & U32(1))
+        rem = u64.add(u64.shl(rem, 1), u64.from_u32(bit))
+        ge = ~u64.unsigned_lt(rem, d2_u64)
+        rem = u64.select(ge, u64.sub(rem, d2_u64), rem)
+        # quotient < 2**32, so ge is only ever true for bit_idx < 32
+        qbit = jnp.where(ge & (bit_idx < 32), U32(1) << sh_lo, U32(0))
+        return rem, q | qbit
+
+    rem0 = u64.const(0, den.shape)
+    q0 = jnp.zeros_like(den, dtype=U32)
+    rem, q = jax.lax.fori_loop(0, nbits, div_step, (rem0, q0))
+    rem_nonzero = (rem[0] | rem[1]) != 0
+    q_i = q.astype(I32)
+    # floor semantics for negative t: -(trunc + (remainder != 0))
+    return jnp.where(is_neg, -(q_i + rem_nonzero.astype(I32)), q_i)
+
+
+def _i64_from_prod_minus(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray):
+    """(a * b - c) as signed 64-bit (hi, lo): a,b >= 0 int32, c >= 0 int32."""
+    hi, lo = u64._mul32_full(a.astype(U32), b.astype(U32))
+    # subtract c (zero-extended)
+    cu = c.astype(U32)
+    nlo = lo - cu
+    borrow = (lo < cu).astype(U32)
+    nhi = hi - borrow
+    return nhi, nlo
+
+
+def _median_from(shifts: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """Upper median (Utils.quickSelect with k = cnt/2); shifts padded +MAX."""
+    s = jnp.sort(shifts)
+    idx = jnp.clip(cnt // 2, 0, shifts.shape[0] - 1)
+    return s[idx]
+
+
+def _window_params(median, abs_max, nk1, nk2):
+    v1l = jnp.maximum(0, -median - abs_max)
+    v1u = jnp.minimum(nk1, nk2 - median + abs_max)
+    v2l = jnp.maximum(0, median - abs_max)
+    v2u = jnp.minimum(nk2, nk1 + median + abs_max)
+    return v1l, v1u, v2l, v2u
+
+
+def _shift_stats(shifts, cnt, nk1, nk2, m, s):
+    """median + absMaxShiftInOverlap (MatchData.performUpdate :191-215)."""
+    median = _median_from(shifts, cnt)
+    left = jnp.maximum(0, -median)
+    right = jnp.minimum(nk1, nk2 - median)
+    overlap = jnp.maximum(10, right - left)
+    abs_max = jnp.minimum(jnp.maximum(nk1, nk2), _floor_mul(overlap, m, s))
+    return median, abs_max
+
+
+def _merge_pass(a_h, a_p, n1, b_h, b_p, n2, median, abs_max,
+                v1l, v1u, v2l, v2u, cap: int):
+    """One recordMatchingKmers pass (per lane; vmapped by caller).
+
+    a_h, a_p: int32 [S] (hash, pos) sorted by (hash, pos); entries >= n1 are
+    PAD.  Returns (pos1 [cap], pos2 [cap], cnt).
+    """
+    S = a_h.shape[0]
+
+    def gather(arr, i):
+        return arr[jnp.clip(i, 0, S - 1)]
+
+    def ext_scan(h, i, arr_h, arr_p, n, vl, vu, active):
+        """Last consecutive index with same hash and valid pos."""
+        def cond(st):
+            t, last, act = st
+            ok = act & (t < n)
+            ht = gather(arr_h, t)
+            pt = gather(arr_p, t)
+            return ok & (ht == h) & (pt >= vl) & (pt < vu)
+
+        def body(st):
+            t, last, act = st
+            return t + 1, t, act
+
+        _, last, _ = jax.lax.while_loop(cond, body, (i + 1, i, active))
+        return last
+
+    def cond(st):
+        i1, i2, cnt, p1b, p2b = st
+        return (i1 < n1) & (i2 < n2)
+
+    def body(st):
+        i1, i2, cnt, p1b, p2b = st
+        h1 = gather(a_h, i1)
+        p1 = gather(a_p, i1)
+        h2 = gather(b_h, i2)
+        p2 = gather(b_p, i2)
+
+        adv1 = (h1 < h2) | (p1 < v1l) | (p1 >= v1u)
+        adv2 = (~adv1) & ((h2 < h1) | (p2 < v2l) | (p2 >= v2u))
+        matched = (~adv1) & (~adv2)
+        shift = p2 - p1
+        diff = shift - median
+        sf1 = matched & (diff > abs_max)
+        sf2 = matched & (diff < -abs_max)
+        rec = matched & (~sf1) & (~sf2)
+
+        # record the first pair
+        c0 = jnp.clip(cnt, 0, cap - 1)
+        p1b = p1b.at[c0].set(jnp.where(rec, p1, p1b[c0]))
+        p2b = p2b.at[c0].set(jnp.where(rec, p2, p2b[c0]))
+
+        i1_last = ext_scan(h1, i1, a_h, a_p, n1, v1l, v1u, rec)
+        i2_last = ext_scan(h2, i2, b_h, b_p, n2, v2l, v2u, rec)
+        moved = rec & ((i1_last != i1) | (i2_last != i2))
+
+        cnt1 = cnt + rec.astype(I32)
+        c1 = jnp.clip(cnt1, 0, cap - 1)
+        p1n = gather(a_p, i1_last)
+        p2n = gather(b_p, i2_last)
+        p1b = p1b.at[c1].set(jnp.where(moved, p1n, p1b[c1]))
+        p2b = p2b.at[c1].set(jnp.where(moved, p2n, p2b[c1]))
+        cnt2 = cnt1 + moved.astype(I32)
+
+        i1n = jnp.where(rec,
+                        jnp.where(moved, i1_last, i1) + 1,
+                        i1 + (adv1 | sf1).astype(I32))
+        i2n = jnp.where(rec,
+                        jnp.where(moved, i2_last, i2) + 1,
+                        i2 + (adv2 | sf2).astype(I32))
+        return i1n, i2n, cnt2, p1b, p2b
+
+    p1b = jnp.full((cap,), _IMAX, I32)
+    p2b = jnp.full((cap,), _IMAX, I32)
+    i1, i2, cnt, p1b, p2b = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0), p1b, p2b))
+    return p1b, p2b, cnt
+
+
+def _optimize_shifts(p1b, p2b, cnt, median, cap: int):
+    """Adjacent same-pos1 dedup (MatchData.optimizeShifts :156-189).
+
+    Returns keep mask [cap] (selected entries) and new count.
+    """
+    idx = jnp.arange(cap, dtype=I32)
+    in_range = idx < cnt
+    shifts = p2b - p1b
+    key = jnp.abs(shifts - median)
+    # adjacent runs of equal pos1 among in-range entries
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool), p1b[1:] == p1b[:-1]]) & in_range
+    new_run = in_range & ~prev_same
+    run_id = jnp.cumsum(new_run.astype(I32)) - 1
+    run_id = jnp.where(in_range, run_id, cap + 1)
+    key = jnp.where(in_range, key, _IMAX)
+    s_run, s_key, s_idx = jax.lax.sort((run_id, key, idx), num_keys=3)
+    first_of_run = jnp.concatenate(
+        [jnp.ones((1,), bool), s_run[1:] != s_run[:-1]]) & (s_run < cap)
+    keep = jnp.zeros((cap,), bool).at[s_idx].set(first_of_run)
+    new_cnt = jnp.sum(keep).astype(I32)
+    return keep, new_cnt
+
+
+def _edges(p1b, p2b, keep, median, abs_max, nk1, nk2):
+    """UMVU edge estimation (MatchData.computeEdges :90-137)."""
+    shifts = p2b - p1b
+    valid = keep & (jnp.abs(shifts - median) <= abs_max)
+    n = jnp.sum(valid).astype(I32)
+    big = _IMAX
+    l1 = jnp.min(jnp.where(valid, p1b, big))
+    l2 = jnp.min(jnp.where(valid, p2b, big))
+    r1 = jnp.max(jnp.where(valid, p1b, -big))
+    r2 = jnp.max(jnp.where(valid, p2b, -big))
+    den = jnp.maximum(n - 1, 1)
+
+    def umvu(lo, hi_):
+        # round((n*lo - hi) / (n-1))
+        return _round_div(*_i64_from_prod_minus(n, lo, hi_), den)
+
+    a1 = jnp.maximum(0, umvu(l1, r1))
+    a2 = jnp.minimum(nk1, umvu(r1, l1))
+    b1 = jnp.maximum(0, umvu(l2, r2))
+    b2 = jnp.minimum(nk2, umvu(r2, l2))
+    ok = n >= 3
+    return ok, n, a1, a2, b1, b2
+
+
+def _windowed_jaccard(a_h, a_p, m1, b_h, b_p, m2, a1, a2, b1, b2):
+    """Closed form of computeKBottomSketchJaccard (:304-364).
+
+    Per shared hash value with window-filtered multiplicities c1, c2 the
+    sequential union merge consumes max(c1,c2) union slots, intersections
+    first; count intersections within the first k = min(s1,s2) slots.
+    Returns (intersections, k).
+    """
+    S = a_h.shape[0]
+    slot = jnp.arange(S, dtype=I32)
+    in1 = (slot < m1) & (a_p >= a1) & (a_p <= a2)
+    in2 = (slot < m2) & (b_p >= b1) & (b_p <= b2)
+    s1 = jnp.sum(in1).astype(I32)
+    s2 = jnp.sum(in2).astype(I32)
+    k = jnp.minimum(s1, s2)
+
+    vals = jnp.concatenate([jnp.where(in1, a_h, PAD_HASH),
+                            jnp.where(in2, b_h, PAD_HASH)])
+    tags = jnp.concatenate([jnp.zeros((S,), I32), jnp.ones((S,), I32)])
+    mask = jnp.concatenate([in1, in2])
+    # second key: valid entries sort before pads within an equal hash value,
+    # so a run's first element is always valid (a real hash can legitimately
+    # equal the PAD sentinel)
+    inv = (~mask).astype(I32)
+    s_vals, _, s_tags, s_mask = jax.lax.sort(
+        (vals, inv, tags, mask.astype(I32)), num_keys=2)
+    s_mask = s_mask == 1
+
+    n2_ = 2 * S
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), s_vals[1:] != s_vals[:-1]]) & s_mask
+    run_id = jnp.cumsum(new_run.astype(I32)) - 1
+    run_id_c = jnp.where(s_mask, run_id, n2_ - 1)
+    c1 = jax.ops.segment_sum((s_mask & (s_tags == 0)).astype(I32), run_id_c,
+                             num_segments=n2_)
+    c2 = jax.ops.segment_sum((s_mask & (s_tags == 1)).astype(I32), run_id_c,
+                             num_segments=n2_)
+    # per-run union consumption and intersections, in ascending hash order
+    u = jnp.maximum(c1, c2)
+    i_ = jnp.minimum(c1, c2)
+    cum_u = jnp.cumsum(u) - u  # exclusive prefix
+    remaining = jnp.maximum(k - cum_u, 0)
+    contrib = jnp.minimum(remaining, i_)
+    nruns = jnp.sum(new_run).astype(I32)
+    run_slot = jnp.arange(n2_, dtype=I32)
+    inter = jnp.sum(jnp.where(run_slot < nruns, contrib, 0)).astype(I32)
+    return inter, k
+
+
+def _prefilter_shared(a_h, a_p, m1, b_h, b_p, m2):
+    """Keep only entries whose hash occurs in the other list (exact, see
+    module docstring).  Returns compacted (a_h, a_p, m1', b_h, b_p, m2')."""
+    S = a_h.shape[0]
+    slot = jnp.arange(S, dtype=I32)
+
+    def compact(h, p, m, other_h, other_m):
+        idx = jnp.searchsorted(other_h, h)
+        idx_c = jnp.clip(idx, 0, S - 1)
+        found = (other_h[idx_c] == h) & (idx < other_m)
+        keepm = found & (slot < m)
+        inv = (~keepm).astype(U32)
+        _, _, nh, np_ = jax.lax.sort((inv, slot.astype(U32), h, p),
+                                     num_keys=2)
+        nm = jnp.sum(keepm).astype(I32)
+        nh = jnp.where(slot < nm, nh, PAD_HASH)
+        np_ = jnp.where(slot < nm, np_, _IMAX)
+        return nh, np_, nm
+
+    na_h, na_p, nm1 = compact(a_h, a_p, m1, b_h, m2)
+    nb_h, nb_p, nm2 = compact(b_h, b_p, m2, a_h, m1)
+    return na_h, na_p, nm1, nb_h, nb_p, nm2
+
+
+def make_score_pairs(max_shift_percent: float, sketch_size: int,
+                     cap: int | None = None):
+    """Build the jitted batched scorer for a given max-shift percent.
+
+    Returns fn(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk) -> dict of int32
+    [P] arrays: ok, inter, k, valid_cnt (rawScore), a1, a2, b1, b2.
+    """
+    m_c, s_c = fixed_point_constant(max_shift_percent)
+    if cap is None:
+        cap = 2 * sketch_size
+
+    def score_one(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk):
+        fa_h, fa_p, fm1, fb_h, fb_p, fm2 = _prefilter_shared(
+            a_h, a_p, a_m, b_h, b_p, b_m)
+
+        # pass 1: unconstrained windows
+        abs_max0 = jnp.maximum(a_nk, b_nk) + 1
+        p1b, p2b, cnt1 = _merge_pass(
+            fa_h, fa_p, fm1, fb_h, fb_p, fm2,
+            jnp.int32(0), abs_max0, jnp.int32(0), a_nk, jnp.int32(0), b_nk,
+            cap)
+        ok = cnt1 > 0
+
+        shifts1 = jnp.where(jnp.arange(cap) < cnt1, p2b - p1b, _IMAX)
+        median1, abs_max1 = _shift_stats(shifts1, cnt1, a_nk, b_nk, m_c, s_c)
+        v1l, v1u, v2l, v2u = _window_params(median1, abs_max1, a_nk, b_nk)
+
+        # pass 2
+        p1b, p2b, cnt2 = _merge_pass(
+            fa_h, fa_p, fm1, fb_h, fb_p, fm2,
+            median1, abs_max1, v1l, v1u, v2l, v2u, cap)
+        ok = ok & (cnt2 > 0)
+
+        shifts2 = jnp.where(jnp.arange(cap) < cnt2, p2b - p1b, _IMAX)
+        median2 = _median_from(shifts2, cnt2)
+        keep, cnt3 = _optimize_shifts(p1b, p2b, cnt2, median2, cap)
+        ok = ok & (cnt3 > 0)
+
+        shifts3 = jnp.where(keep, p2b - p1b, _IMAX)
+        median3, abs_max3 = _shift_stats(shifts3, cnt3, a_nk, b_nk, m_c, s_c)
+        eok, vcnt, a1, a2, b1, b2 = _edges(
+            p1b, p2b, keep, median3, abs_max3, a_nk, b_nk)
+        ok = ok & eok
+
+        inter, k = _windowed_jaccard(a_h, a_p, a_m, b_h, b_p, b_m,
+                                     a1, a2, b1, b2)
+        return {
+            "ok": ok, "inter": inter, "k": k, "valid_cnt": vcnt,
+            "a1": a1, "a2": a2, "b1": b1, "b2": b2,
+        }
+
+    return jax.jit(jax.vmap(score_one))
