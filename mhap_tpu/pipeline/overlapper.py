@@ -1,0 +1,410 @@
+"""TPU-native end-to-end overlapper pipeline.
+
+The device path mirrors the reference pipeline (main/MhapMain.java:377-552;
+impl/MinHashSearch.java; impl/AbstractMatchSearch.java) with a dense batched
+dataflow instead of thread pools:
+
+  encode reads -> [B, L] uint8 length-bucketed batches
+    -> murmur3 k-mer hash kernels (ops/murmur3.py)
+    -> weighted-MinHash min-reduce (ops/minhash.py)     [stage-1 sketch]
+    -> bottom-k sort kernel (ops/bottomk.py)            [stage-2 sketch]
+  -> sorted-postings LSH vote (this file; device variant in index/)
+  -> batched two-pass merge scorer (ops/scorer.py)
+  -> host float64 mash-identity conversion + M4 text emission
+
+Output parity: the emitted line *set* is identical to the oracle
+(mhap_tpu/oracle/pipeline.py) and therefore to the reference jar.
+
+Weight handling: stage-1 weights are the per-read k-mer occurrence counts
+(tf mode, the default when no filter file is given: repeat_weight=0.9 with
+no filter -> weight = count, MinHashSketch.java:95-128).  The min-reduce is
+compiled for a static per-batch weight cap; batches whose true max weight
+exceeds the cap escalate to a higher-cap variant (weights are tiny for real
+reads, so the base cap almost always holds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle import scorer as _oscorer
+from ..ops import bottomk as _bottomk
+from ..ops import minhash as _minhash
+from ..ops import murmur3 as _murmur3
+from ..ops import scorer as _kscorer
+
+DEFAULTS = dict(
+    kmer_size=16,
+    num_hashes=512,
+    num_min_matches=3,
+    threshold=0.78,
+    ordered_kmer_size=12,
+    ordered_sketch_size=1536,
+    max_shift=0.2,
+    min_store_length=0,
+    min_olap_length=116,
+    repeat_weight=0.9,
+)
+
+_RC_TABLE = np.arange(256, dtype=np.uint8)
+for _a, _b in [("A", "T"), ("C", "G"), ("M", "K"), ("R", "Y"), ("W", "W"),
+               ("S", "S"), ("V", "B"), ("H", "D"), ("N", "N")]:
+    _RC_TABLE[ord(_a)] = ord(_b)
+    _RC_TABLE[ord(_b)] = ord(_a)
+
+
+def _rc_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of ASCII codes (utils/Utils.java rc(), IUPAC)."""
+    return _RC_TABLE[codes[::-1]]
+
+
+def _bucket_len(n: int, quantum: int = 256) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+@dataclass
+class SketchStore:
+    """Host-side dense sketch arrays for a set of oriented reads.
+
+    Mirrors impl/SequenceSketch.java's bundle, as columns:
+      header_id [N] int64, is_fwd [N] bool, length [N] int32,
+      minhash [N, H] int32, ordered_h/[N, S] int32, ordered_p [N, S] int32,
+      ordered_m [N] int32 (valid entries), num_kmers [N] int32.
+    """
+    header_id: np.ndarray
+    is_fwd: np.ndarray
+    length: np.ndarray
+    minhash: np.ndarray
+    ordered_h: np.ndarray
+    ordered_p: np.ndarray
+    ordered_m: np.ndarray
+    num_kmers: np.ndarray
+    headers: list = field(default_factory=list)
+
+    def __len__(self):
+        return len(self.header_id)
+
+    def display(self, i: int) -> str:
+        h = self.headers[i]
+        return h if h is not None else str(int(self.header_id[i]))
+
+    @staticmethod
+    def concat(stores: list["SketchStore"]) -> "SketchStore":
+        cols = {}
+        for name in ("header_id", "is_fwd", "length", "minhash", "ordered_h",
+                     "ordered_p", "ordered_m", "num_kmers"):
+            cols[name] = np.concatenate([getattr(s, name) for s in stores])
+        headers = [h for s in stores for h in s.headers]
+        return SketchStore(headers=headers, **cols)
+
+
+class TpuOverlapper:
+    """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
+
+    def __init__(self, cfg=None, w_caps=(8, 64, 512), pair_chunk: int = 512):
+        self.cfg = dict(DEFAULTS)
+        if cfg:
+            self.cfg.update(cfg)
+        self.w_caps = tuple(w_caps)
+        self.pair_chunk = pair_chunk
+        self._score_fn = _kscorer.make_score_pairs(
+            self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
+
+    # ---------------- sketching ----------------
+
+    def _sketch_batch(self, codes: np.ndarray, lens: np.ndarray):
+        """codes: [B, L] uint8 (padded). Returns host numpy arrays
+        (minhash [B,H], mh_valid [B] bool, oh, op, om, num_kmers)."""
+        cfg = self.cfg
+        k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
+        H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+        B, L = codes.shape
+        seq = jnp.asarray(codes)
+        lens_j = jnp.asarray(lens)
+
+        n1 = L - k1 + 1
+        valid1 = jnp.arange(n1)[None, :] < (lens_j[:, None] - k1 + 1)
+        hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
+
+        # escalate through weight caps until every read fits
+        mh = None
+        for cap in self.w_caps:
+            sketch, n_valid, max_w = _sketch_minhash_with_maxw(
+                hi, lo, valid1, H, cap)
+            if mh is None:
+                mh, nv = np.asarray(sketch), np.asarray(n_valid)
+                maxw_np = np.asarray(max_w)
+                redo = maxw_np > cap
+            else:
+                upd = redo
+                mh[upd] = np.asarray(sketch)[upd]
+                redo = redo & (maxw_np > cap)
+            if not redo.any():
+                break
+        else:
+            if redo.any():
+                raise RuntimeError(
+                    f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+        mh_valid = nv > 0
+
+        n2 = L - k2 + 1
+        valid2 = jnp.arange(n2)[None, :] < (lens_j[:, None] - k2 + 1)
+        h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
+        oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
+        num_kmers = np.maximum(lens - k2 + 1, 0).astype(np.int32)
+        return mh, mh_valid, np.asarray(oh), np.asarray(op), np.asarray(om), num_kmers
+
+    def sketch_reads(self, reads: list[str], headers=None, offset: int = 0,
+                     do_rc: bool = True) -> SketchStore:
+        """Sketch fwd (+rev) of every read with the reference's skip rules
+        (SequenceSketchStreamer.java:123-177: drop < minOlapLength, skip
+        zero-ngram reads; ids keep counting across dropped reads)."""
+        cfg = self.cfg
+        entries = []  # (header_id, is_fwd, header, codes)
+        for i, r in enumerate(reads):
+            hid = i + 1 + offset
+            if len(r) < cfg["min_olap_length"]:
+                continue
+            hdr = headers[i] if headers is not None else None
+            codes = np.frombuffer(r.upper().encode("ascii"), dtype=np.uint8)
+            entries.append((hid, True, hdr, codes))
+            if do_rc:
+                entries.append((hid, False, hdr, _rc_codes(codes)))
+
+        # length-bucketed batches
+        by_bucket: dict[int, list[int]] = {}
+        for j, e in enumerate(entries):
+            by_bucket.setdefault(_bucket_len(len(e[3])), []).append(j)
+
+        N = len(entries)
+        H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+        minhash = np.zeros((N, H), np.int32)
+        mh_valid = np.zeros(N, bool)
+        ordered_h = np.zeros((N, S), np.int32)
+        ordered_p = np.zeros((N, S), np.int32)
+        ordered_m = np.zeros(N, np.int32)
+        num_kmers = np.zeros(N, np.int32)
+
+        for blen, idxs in sorted(by_bucket.items()):
+            B = len(idxs)
+            codes = np.zeros((B, blen), np.uint8)
+            lens = np.zeros(B, np.int32)
+            for r, j in enumerate(idxs):
+                c = entries[j][3]
+                codes[r, :len(c)] = c
+                lens[r] = len(c)
+            mh, mhv, oh, op, om, nk = self._sketch_batch(codes, lens)
+            ii = np.asarray(idxs)
+            minhash[ii] = mh
+            mh_valid[ii] = mhv
+            ordered_h[ii] = oh
+            ordered_p[ii] = op
+            ordered_m[ii] = om
+            num_kmers[ii] = nk
+
+        # zero-ngram skip rules: fwd fails -> drop the read entirely;
+        # rev fails -> keep fwd only (enqueue() + enqueueUntilFound()).
+        keep = np.ones(N, bool)
+        for j, (hid, fwd, hdr, codes) in enumerate(entries):
+            if fwd and not mh_valid[j]:
+                keep[j] = False
+                if do_rc and j + 1 < N and entries[j + 1][0] == hid:
+                    keep[j + 1] = False
+            elif not fwd and not mh_valid[j]:
+                keep[j] = False
+        sel = np.nonzero(keep)[0]
+        return SketchStore(
+            header_id=np.asarray([entries[j][0] for j in sel], np.int64),
+            is_fwd=np.asarray([entries[j][1] for j in sel], bool),
+            length=np.asarray([len(entries[j][3]) for j in sel], np.int32),
+            minhash=minhash[sel],
+            ordered_h=ordered_h[sel],
+            ordered_p=ordered_p[sel],
+            ordered_m=ordered_m[sel],
+            num_kmers=num_kmers[sel],
+            headers=[entries[j][2] for j in sel],
+        )
+
+    # ---------------- LSH vote ----------------
+
+    @staticmethod
+    def build_postings(store: SketchStore):
+        """Sorted postings over (position, hashValue): the array-based
+        re-expression of MinHashSearch's 512 hash tables (:85-147)."""
+        N, H = store.minhash.shape
+        pos = np.repeat(np.arange(H, dtype=np.int64), N)
+        val = store.minhash.T.reshape(-1).astype(np.int64) & 0xFFFFFFFF
+        key = (pos << 32) | val
+        sid = np.tile(np.arange(N, dtype=np.int64), H)
+        order = np.argsort(key, kind="stable")
+        return key[order], sid[order]
+
+    @staticmethod
+    def vote(postings, query_mh: np.ndarray):
+        """Vote counting for a query batch (MinHashSearch.java:161-204).
+
+        Returns (q_idx, cand_idx, counts) arrays over candidate pairs."""
+        keys, sids = postings
+        Q, H = query_mh.shape
+        qpos = np.broadcast_to(np.arange(H, dtype=np.int64), (Q, H))
+        qval = query_mh.astype(np.int64) & 0xFFFFFFFF
+        qkey = ((qpos << 32) | qval).reshape(-1)
+        left = np.searchsorted(keys, qkey, side="left")
+        right = np.searchsorted(keys, qkey, side="right")
+        cnt = right - left
+        tot = int(cnt.sum())
+        if tot == 0:
+            e = np.zeros(0, np.int64)
+            return e, e, e
+        # expand hit ranges
+        hit_q = np.repeat(np.arange(Q * H, dtype=np.int64) // H, cnt)
+        starts = np.repeat(left - np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        hit_slot = np.arange(tot, dtype=np.int64) + starts
+        hit_cand = sids[hit_slot]
+        pair = (hit_q << 32) | hit_cand
+        upair, votes = np.unique(pair, return_counts=True)
+        return upair >> 32, upair & 0xFFFFFFFF, votes
+
+    # ---------------- pair scoring ----------------
+
+    def score_pairs(self, qs: SketchStore, cs: SketchStore,
+                    qi: np.ndarray, ci: np.ndarray):
+        """Batched stage-2 scoring of (qs[qi[t]], cs[ci[t]]) pairs.
+
+        Returns (score float64 [T], raw float64 [T], a1, a2, b1, b2 int32)."""
+        T = len(qi)
+        k2 = self.cfg["ordered_kmer_size"]
+        score = np.zeros(T, np.float64)
+        raw = np.zeros(T, np.float64)
+        edges = np.zeros((T, 4), np.int32)
+        P = self.pair_chunk
+        for s in range(0, T, P):
+            e = min(s + P, T)
+            pad = P - (e - s)
+            qq = np.concatenate([qi[s:e], np.repeat(qi[s:s + 1], pad)])
+            cc = np.concatenate([ci[s:e], np.repeat(ci[s:s + 1], pad)])
+            out = self._score_fn(
+                jnp.asarray(qs.ordered_h[qq]), jnp.asarray(qs.ordered_p[qq]),
+                jnp.asarray(qs.ordered_m[qq]), jnp.asarray(qs.num_kmers[qq]),
+                jnp.asarray(cs.ordered_h[cc]), jnp.asarray(cs.ordered_p[cc]),
+                jnp.asarray(cs.ordered_m[cc]), jnp.asarray(cs.num_kmers[cc]))
+            out = {k: np.asarray(v)[:e - s] for k, v in out.items()}
+            ok = out["ok"].astype(bool)
+            kk = out["k"]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = np.where(kk > 0, out["inter"] / np.maximum(kk, 1), 0.0)
+            sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
+                           for x in j])
+            score[s:e] = np.where(ok, sc, 0.0)
+            raw[s:e] = np.where(ok, out["valid_cnt"].astype(np.float64), 0.0)
+            edges[s:e, 0] = np.where(ok, out["a1"], 0)
+            edges[s:e, 1] = np.where(ok, out["a2"], 0)
+            edges[s:e, 2] = np.where(ok, out["b1"], 0)
+            edges[s:e, 3] = np.where(ok, out["b2"], 0)
+        return score, raw, edges
+
+    # ---------------- match driving ----------------
+
+    def _format(self, qs: SketchStore, cs: SketchStore, qi, ci, score, raw,
+                edges) -> list[str]:
+        """MatchResult coordinate flips + formatting (MatchResult.java)."""
+        lines = []
+        for t in range(len(qi)):
+            q, c = int(qi[t]), int(ci[t])
+            a1, a2, b1, b2 = (int(x) for x in edges[t])
+            qlen = int(qs.length[q])
+            clen = int(cs.length[c])
+            qf = bool(qs.is_fwd[q])
+            cf = bool(cs.is_fwd[c])
+            fa1 = a1 if qf else qlen - a2 - 1
+            fa2 = a2 if qf else qlen - a1 - 1
+            fb1 = b1 if cf else clen - b2 - 1
+            fb2 = b2 if cf else clen - b1 - 1
+            sc = min(float(score[t]), 1.0)
+            lines.append("%s %s %.6f %.6f %d %d %d %d %d %d %d %d" % (
+                qs.display(q), cs.display(c), 1.0 - sc, float(raw[t]),
+                0 if qf else 1, fa1, fa2, qlen,
+                0 if cf else 1, fb1, fb2, clen))
+        return lines
+
+    def _find_matches(self, store: SketchStore, postings, queries: SketchStore,
+                      q_sel: np.ndarray, to_self: bool) -> list[str]:
+        """Vote + suppression rules + scoring (MinHashSearch.java:149-251)."""
+        cfg = self.cfg
+        if len(q_sel) == 0:
+            return []
+        q_idx, cand, votes = self.vote(postings, queries.minhash[q_sel])
+        if len(q_idx) == 0:
+            return []
+        qg = q_sel[q_idx]  # global query row in `queries`
+        keepm = votes >= cfg["num_min_matches"]
+        msl = cfg["min_store_length"]
+        q_hid = queries.header_id[qg]
+        c_hid = store.header_id[cand]
+        q_len = queries.length[qg].astype(np.int64)
+        c_len = store.length[cand].astype(np.int64)
+        if to_self:
+            keepm &= c_hid != q_hid
+        keepm &= ~((c_len < msl) & (q_len < msl))
+        if to_self:
+            keepm &= ~((c_hid > q_hid) & (c_len >= msl) & (q_len >= msl))
+            keepm &= ~((c_len < msl) & (q_len >= msl))
+        qg, cand = qg[keepm], cand[keepm]
+        if len(qg) == 0:
+            return []
+        score, raw, edges = self.score_pairs(queries, store, qg, cand)
+        acc = score >= cfg["threshold"]
+        return self._format(queries, store, qg[acc], cand[acc],
+                            score[acc], raw[acc], edges[acc])
+
+    def overlap_self(self, reads: list[str], headers=None) -> list[str]:
+        """Self-overlap run; returns the sorted list of M4 lines."""
+        store = self.sketch_reads(reads, headers)
+        postings = self.build_postings(store)
+        q_sel = np.nonzero(store.is_fwd)[0]
+        return sorted(self._find_matches(store, postings, store, q_sel, True))
+
+    def overlap_query(self, box_reads: list[str], query_reads: list[str],
+                      no_self: bool = False) -> list[str]:
+        """Box-vs-query run (MhapMain usage 1 with -q)."""
+        box = self.sketch_reads(box_reads)
+        postings = self.build_postings(box)
+        lines = []
+        if not no_self:
+            q_sel = np.nonzero(box.is_fwd)[0]
+            lines += self._find_matches(box, postings, box, q_sel, True)
+        n_box = len(box) // 2
+        queries = self.sketch_reads(query_reads, offset=n_box, do_rc=False)
+        q_sel = np.arange(len(queries))
+        lines += self._find_matches(box, postings, queries, q_sel, False)
+        return sorted(lines)
+
+
+# jitted helper: minhash + per-read max weight in one device call
+_MINHASH_CACHE: dict = {}
+
+
+def _sketch_minhash_with_maxw(hi, lo, valid, num_hashes: int, w_cap: int):
+    import jax
+
+    key = (num_hashes, w_cap, hi.shape)
+    fn = _MINHASH_CACHE.get(key)
+    if fn is None:
+        def impl(hi, lo, valid):
+            g = _minhash.sort_and_count(hi, lo, valid)
+            w = jnp.where(g["first"], g["count"], 0)
+            active = g["first"] & (w > 0)
+            n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
+            max_w = jnp.max(jnp.where(active, w, 0), axis=1)
+            wc = jnp.minimum(w, w_cap)
+            sketch = _minhash.weighted_min_reduce(
+                g["hi"], g["lo"], wc, active, g["tiebreak"],
+                num_hashes=num_hashes, w_max=w_cap)
+            return sketch, n_valid, max_w
+
+        fn = jax.jit(impl)
+        _MINHASH_CACHE[key] = fn
+    return fn(hi, lo, valid)

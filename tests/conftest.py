@@ -14,6 +14,14 @@ os.environ["XLA_FLAGS"] = (
 )
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# The axon sitecustomize registers the remote-TPU backend at interpreter
+# startup and overrides jax_platforms via jax.config, so the env var alone
+# is not enough -- force the CPU backend explicitly.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+
 import numpy as np
 import pytest
 

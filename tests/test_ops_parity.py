@@ -1,0 +1,257 @@
+"""Device-kernel parity vs the bit-exact oracle.
+
+Every JAX op on the overlap path must reproduce the oracle (and therefore
+the reference, sketch/MinHashSketch.java + sketch/BottomOverlapSketch.java)
+exactly: same int32 sketch values, same (hash,pos) bottom-k entries, same
+integer scorer outputs (match counts, UMVU edges, windowed-Jaccard
+intersection counts).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mhap_tpu.oracle import scorer as osc
+from mhap_tpu.oracle import sketch as osk
+from mhap_tpu.ops import bottomk as kbk
+from mhap_tpu.ops import minhash as kmh
+from mhap_tpu.ops import murmur3 as km
+from mhap_tpu.ops import scorer as ksc
+from mhap_tpu.ops import u64
+
+
+def encode_batch(reads):
+    """Pad ASCII reads to a dense [B, L] uint8 batch + per-window valid mask."""
+    L = max(len(r) for r in reads)
+    B = len(reads)
+    seq = np.zeros((B, L), dtype=np.uint8)
+    lens = np.zeros(B, dtype=np.int32)
+    for i, r in enumerate(reads):
+        b = r.encode("ascii")
+        seq[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    return jnp.asarray(seq), lens
+
+
+def window_valid(lens, L, k):
+    n = L - k + 1
+    return jnp.asarray(np.arange(n)[None, :] < (lens[:, None] - k + 1))
+
+
+def random_reads(rng, count, lo=300, hi=600, alphabet="ACGT"):
+    out = []
+    arr = np.array(list(alphabet))
+    for _ in range(count):
+        n = int(rng.integers(lo, hi))
+        out.append("".join(arr[rng.integers(0, len(arr), n)]))
+    return out
+
+
+def repeat_reads(rng, count):
+    """Reads with tandem repeats -> duplicate k-mer hashes (weight > 1 and
+    duplicate-run handling in the stage-2 merge)."""
+    arr = np.array(list("ACGT"))
+    out = []
+    for _ in range(count):
+        unit = "".join(arr[rng.integers(0, 4, int(rng.integers(20, 40)))])
+        reps = int(rng.integers(3, 8))
+        pre = "".join(arr[rng.integers(0, 4, int(rng.integers(50, 150)))])
+        post = "".join(arr[rng.integers(0, 4, int(rng.integers(50, 150)))])
+        out.append(pre + unit * reps + post)
+    return out
+
+
+@pytest.mark.parametrize("k", [12, 16])
+def test_kmer_hashes_device_vs_oracle(k):
+    rng = np.random.default_rng(42)
+    reads = random_reads(rng, 6, 100, 200, alphabet="ACGTN")
+    seq, lens = encode_batch(reads)
+    L = seq.shape[1]
+    hi, lo = km.kmer_hashes_128(seq, k, 0)
+    h32 = km.kmer_hashes_32(seq, k, 0)
+    dev128 = (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | np.asarray(lo, np.uint64)
+    dev32 = np.asarray(h32)
+    for i, r in enumerate(reads):
+        n = len(r) - k + 1
+        np.testing.assert_array_equal(
+            dev128[i, :n], osk.sequence_kmer_hashes_128(r, k))
+        np.testing.assert_array_equal(
+            dev32[i, :n].view(np.uint32), osk.sequence_kmer_hashes_32(r, k))
+
+
+@pytest.mark.parametrize("readgen", ["random", "repeats"])
+def test_minhash_device_vs_oracle_tf_mode(readgen):
+    """tf mode (pipeline default: repeat_weight=0.9 with no filter file
+    -> weight = k-mer occurrence count, MinHashSketch.java:95-128)."""
+    rng = np.random.default_rng(7 if readgen == "random" else 8)
+    reads = random_reads(rng, 8) if readgen == "random" else repeat_reads(rng, 8)
+    k, num_hashes = 16, 64
+    seq, lens = encode_batch(reads)
+    valid = window_valid(lens, seq.shape[1], k)
+    hi, lo = km.kmer_hashes_128(seq, k, 0)
+
+    counts = [max(np.unique(osk.sequence_kmer_hashes_128(r, k),
+                            return_counts=True)[1].max(), 1) for r in reads]
+    w_max = int(max(counts))
+    sketch, n_valid = kmh.minhash_from_hashes(
+        hi, lo, valid, num_hashes=num_hashes, w_max=w_max)
+    sketch = np.asarray(sketch)
+    for i, r in enumerate(reads):
+        want = osk.weighted_minhash(osk.sequence_kmer_hashes_128(r, k),
+                                    num_hashes, None, 0.9)
+        np.testing.assert_array_equal(sketch[i], want, err_msg=f"read {i}")
+
+
+def test_minhash_device_vs_oracle_legacy_mode():
+    """legacy mode (repeat_weight < 0 -> every unique k-mer weight 1)."""
+    rng = np.random.default_rng(8)
+    reads = repeat_reads(rng, 6)
+    k, num_hashes = 16, 64
+    seq, lens = encode_batch(reads)
+    valid = window_valid(lens, seq.shape[1], k)
+    hi, lo = km.kmer_hashes_128(seq, k, 0)
+    sketch, _ = kmh.minhash_from_hashes(
+        hi, lo, valid, weights_fn=lambda g: jnp.ones_like(g["count"]),
+        num_hashes=num_hashes, w_max=1)
+    sketch = np.asarray(sketch)
+    for i, r in enumerate(reads):
+        want = osk.weighted_minhash(osk.sequence_kmer_hashes_128(r, k),
+                                    num_hashes, None, -1.0)
+        np.testing.assert_array_equal(sketch[i], want, err_msg=f"read {i}")
+
+
+def test_bottomk_device_vs_oracle():
+    rng = np.random.default_rng(9)
+    reads = random_reads(rng, 6, 200, 400) + repeat_reads(rng, 2)
+    k, S = 12, 128
+    seq, lens = encode_batch(reads)
+    valid = window_valid(lens, seq.shape[1], k)
+    h32 = km.kmer_hashes_32(seq, k, 0)
+    out_h, out_p, m = kbk.bottom_sketch(h32, valid, sketch_size=S)
+    out_h, out_p, m = np.asarray(out_h), np.asarray(out_p), np.asarray(m)
+    for i, r in enumerate(reads):
+        want, nk = osk.bottom_sketch(r, k, S)
+        assert m[i] == len(want)
+        np.testing.assert_array_equal(out_h[i, :m[i]], want[:, 0])
+        np.testing.assert_array_equal(out_p[i, :m[i]], want[:, 1])
+
+
+def _pack_pairs(pairs, k, S):
+    """oracle bottom sketches -> device batch arrays."""
+    P = len(pairs)
+    a_h = np.full((P, S), ksc.PAD_HASH, np.int32)
+    a_p = np.full((P, S), np.int32(0x7FFFFFFF), np.int32)
+    b_h = a_h.copy()
+    b_p = a_p.copy()
+    a_m = np.zeros(P, np.int32)
+    b_m = np.zeros(P, np.int32)
+    a_nk = np.zeros(P, np.int32)
+    b_nk = np.zeros(P, np.int32)
+    for i, (r1, r2) in enumerate(pairs):
+        s1, n1 = osk.bottom_sketch(r1, k, S)
+        s2, n2 = osk.bottom_sketch(r2, k, S)
+        a_h[i, :len(s1)] = s1[:, 0]
+        a_p[i, :len(s1)] = s1[:, 1]
+        b_h[i, :len(s2)] = s2[:, 0]
+        b_p[i, :len(s2)] = s2[:, 1]
+        a_m[i], b_m[i] = len(s1), len(s2)
+        a_nk[i], b_nk[i] = n1, n2
+    return tuple(jnp.asarray(x) for x in
+                 (a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk))
+
+
+def _mutate(rng, s, err=0.12):
+    arr = np.array(list("ACGT"))
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < err * 0.4:
+            out.append(ch)
+            out.append(str(arr[rng.integers(0, 4)]))
+        elif r < err * 0.7:
+            pass
+        elif r < err:
+            out.append(str(arr[rng.integers(0, 4)]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def test_scorer_device_vs_oracle():
+    rng = np.random.default_rng(11)
+    k, S = 12, 256
+    genome = random_reads(rng, 1, 4000, 4001)[0]
+    pairs = []
+    # overlapping noisy pairs (varying overlap), identical, unrelated, repeats
+    for ov in (2000, 1200, 600, 300):
+        p1 = int(rng.integers(0, 1500))
+        r1 = _mutate(rng, genome[p1:p1 + 2000])
+        r2 = _mutate(rng, genome[p1 + 2000 - ov:p1 + 4000 - ov])
+        pairs.append((r1, r2))
+    same = random_reads(rng, 1, 1500, 1501)[0]
+    pairs.append((same, same))
+    pairs.append((random_reads(rng, 1, 1500, 1501)[0],
+                  random_reads(rng, 1, 1500, 1501)[0]))
+    reps = repeat_reads(rng, 4)
+    pairs.append((reps[0] + reps[1], reps[0] + reps[2]))
+    pairs.append((reps[2], reps[2] + reps[3]))
+
+    score_fn = ksc.make_score_pairs(0.2, S)
+    args = _pack_pairs(pairs, k, S)
+    out = {kk: np.asarray(v) for kk, v in score_fn(*args).items()}
+
+    for i, (r1, r2) in enumerate(pairs):
+        s1, n1 = osk.bottom_sketch(r1, k, S)
+        s2, n2 = osk.bottom_sketch(r2, k, S)
+        want = osc.get_overlap_info(s1, n1, s2, n2, k, 0.2)
+        w_score, w_raw, wa1, wa2, wb1, wb2 = want
+        if not out["ok"][i]:
+            assert want == osc.EMPTY, f"pair {i}: device rejected, oracle {want}"
+            continue
+        assert want != osc.EMPTY, f"pair {i}: device accepted, oracle EMPTY"
+        assert (out["a1"][i], out["a2"][i], out["b1"][i], out["b2"][i]) == \
+            (wa1, wa2, wb1, wb2), f"pair {i} edges"
+        assert out["valid_cnt"][i] == int(w_raw), f"pair {i} rawScore"
+        j = out["inter"][i] / out["k"][i] if out["k"][i] > 0 else 0.0
+        got_score = osc.jaccard_to_identity(float(j), k)
+        assert got_score == pytest.approx(w_score, abs=0, rel=0) or \
+            got_score == w_score, f"pair {i} score {got_score} != {w_score}"
+
+
+def test_scorer_fuzz_short_pairs():
+    """Fuzz many short pairs through the device scorer vs the oracle."""
+    rng = np.random.default_rng(13)
+    k, S = 12, 128
+    score_fn = ksc.make_score_pairs(0.2, S)
+    genome = random_reads(rng, 1, 3000, 3001)[0]
+    pairs = []
+    for _ in range(24):
+        a = int(rng.integers(0, 2000))
+        b = int(rng.integers(max(0, a - 400), min(2400, a + 400)))
+        ln1 = int(rng.integers(300, 600))
+        ln2 = int(rng.integers(300, 600))
+        pairs.append((_mutate(rng, genome[a:a + ln1]),
+                      _mutate(rng, genome[b:b + ln2])))
+    args = _pack_pairs(pairs, k, S)
+    out = {kk: np.asarray(v) for kk, v in score_fn(*args).items()}
+    for i, (r1, r2) in enumerate(pairs):
+        s1, n1 = osk.bottom_sketch(r1, k, S)
+        s2, n2 = osk.bottom_sketch(r2, k, S)
+        want = osc.get_overlap_info(s1, n1, s2, n2, k, 0.2)
+        if not out["ok"][i]:
+            assert want == osc.EMPTY, f"pair {i}"
+            continue
+        assert (out["a1"][i], out["a2"][i], out["b1"][i], out["b2"][i]) == \
+            want[2:], f"pair {i} edges"
+        assert out["valid_cnt"][i] == int(want[1])
+        j = out["inter"][i] / out["k"][i] if out["k"][i] > 0 else 0.0
+        assert osc.jaccard_to_identity(float(j), k) == want[0], f"pair {i}"
+
+
+def test_xorshift_u64_parity():
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, 2**64, 256, dtype=np.uint64)
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    got = u64.to_numpy(u64.xorshift((hi, lo)))
+    np.testing.assert_array_equal(got, osk.xorshift64(vals))

@@ -1,0 +1,58 @@
+"""Device pipeline vs oracle: the emitted M4 line sets must be identical."""
+
+import numpy as np
+import pytest
+
+from mhap_tpu.oracle import pipeline as op
+from mhap_tpu.pipeline.overlapper import TpuOverlapper
+
+CFG = dict(num_hashes=128, ordered_sketch_size=512, num_min_matches=2)
+
+
+@pytest.fixture(scope="module")
+def overlapper():
+    return TpuOverlapper(CFG, pair_chunk=64)
+
+
+def test_overlap_self_equals_oracle(synthetic_reads, overlapper):
+    genome, reads, positions = synthetic_reads
+    want = op.overlap_self(reads, CFG)
+    got = overlapper.overlap_self(reads)
+    assert got == want
+    assert len(got) > 5  # sanity: overlaps were actually found
+
+
+def test_overlap_self_with_rc_reads(synthetic_reads, overlapper, rng):
+    genome, reads, positions = synthetic_reads
+    from mhap_tpu.oracle.seq import reverse_complement
+    mixed = reads[:6] + [reverse_complement(r) for r in reads[6:12]]
+    want = op.overlap_self(mixed, CFG)
+    got = overlapper.overlap_self(mixed)
+    assert got == want
+    assert any(l.split()[4] == "1" or l.split()[8] == "1" for l in got)
+
+
+def test_overlap_query_equals_oracle(synthetic_reads, overlapper):
+    genome, reads, positions = synthetic_reads
+    box, queries = reads[:10], reads[10:16]
+    want = op.overlap_query(box, queries, CFG)
+    got = overlapper.overlap_query(box, queries)
+    assert got == want
+
+
+def test_short_and_dropped_reads(synthetic_reads, overlapper):
+    genome, reads, positions = synthetic_reads
+    mixed = [reads[0], "ACGT" * 10, reads[1], reads[2]]  # read 2 dropped
+    want = op.overlap_self(mixed, CFG)
+    got = overlapper.overlap_self(mixed)
+    assert got == want
+    ids = {p for l in got for p in l.split()[:2]}
+    assert "2" not in ids
+
+
+def test_headers_mode(synthetic_reads, overlapper):
+    genome, reads, positions = synthetic_reads
+    headers = [f"read/{i}/0_{len(r)}" for i, r in enumerate(reads[:8])]
+    want = op.overlap_self(reads[:8], CFG, headers=headers)
+    got = overlapper.overlap_self(reads[:8], headers=headers)
+    assert got == want
