@@ -383,11 +383,13 @@ def _prefilter_shared(a_h, a_p, m1, b_h, b_p, m2):
 
 
 def make_score_pairs(max_shift_percent: float, sketch_size: int,
-                     cap: int | None = None):
-    """Build the jitted batched scorer for a given max-shift percent.
+                     cap: int | None = None, jit: bool = True):
+    """Build the batched pair scorer for a given max-shift percent.
 
     Returns fn(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk) -> dict of int32
     [P] arrays: ok, inter, k, valid_cnt (rawScore), a1, a2, b1, b2.
+    With jit=False the raw vmapped function is returned (for embedding in a
+    larger jit/shard_map program).
     """
     m_c, s_c = fixed_point_constant(max_shift_percent)
     if cap is None:
@@ -433,4 +435,5 @@ def make_score_pairs(max_shift_percent: float, sketch_size: int,
             "a1": a1, "a2": a2, "b1": b1, "b2": b2,
         }
 
-    return jax.jit(jax.vmap(score_one))
+    fn = jax.vmap(score_one)
+    return jax.jit(fn) if jit else fn

@@ -1,0 +1,35 @@
+"""Multi-device SPMD path: sharded self-overlap must equal the oracle and
+be invariant across mesh shapes (SURVEY.md section 4 item 5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mhap_tpu.oracle import pipeline as op
+from mhap_tpu.parallel import sharded
+
+CFG = dict(op.DEFAULTS, num_hashes=64, ordered_sketch_size=256,
+           num_min_matches=2)
+
+
+@pytest.fixture(scope="module")
+def small_reads(synthetic_reads):
+    genome, reads, positions = synthetic_reads
+    return [r[:1200] for r in reads[:10]]
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_equals_oracle(small_reads, ndev):
+    mesh = sharded.make_mesh(jax.devices()[:ndev])
+    got = sharded.self_overlap_sharded(mesh, CFG, small_reads, top_k=16)
+    want = op.overlap_self(small_reads, CFG)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_mesh_shape_invariance(small_reads):
+    m2 = sharded.make_mesh(jax.devices()[:2])
+    m4 = sharded.make_mesh(jax.devices()[:4])
+    got2 = sharded.self_overlap_sharded(m2, CFG, small_reads, top_k=16)
+    got4 = sharded.self_overlap_sharded(m4, CFG, small_reads, top_k=16)
+    assert got2 == got4
