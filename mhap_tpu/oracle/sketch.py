@@ -155,6 +155,56 @@ def minhash_sketch(seq: str, k: int, num_hashes: int, kmer_filter=None,
                             kmer_filter, repeat_weight)
 
 
+def sequence_kmer_hashes_32_canonical(seq: str, k: int) -> np.ndarray:
+    """murmur3_32 of each k-mer canonicalized to min(kmer, rc(kmer))
+    (HashUtils.computeSequenceHashes with doReverseCompliment=true)."""
+    from .seq import reverse_complement
+
+    n = len(seq) - k + 1
+    if n < 1:
+        raise ZeroNGramsFound("N-gram size bigger than string length.")
+    rc = reverse_complement(seq)
+    out = np.empty(n, dtype=np.uint32)
+    for i in range(n):
+        s = seq[i:i + k]
+        r = rc[len(seq) - k - i:len(seq) - i]
+        if r < s:
+            s = r
+        codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).reshape(1, -1)
+        out[i] = _m3.hash_kmers_32(codes)[0]
+    return out
+
+
+def bottom_sketch_values(seq: str, k: int, sketch_size: int,
+                         canonical: bool = True) -> np.ndarray:
+    """Classic bottom-k value sketch (sketch/BottomSketch.java): signed-hash
+    sorted bottom min(sketch_size, n) hash values (no positions)."""
+    if canonical:
+        hashes = sequence_kmer_hashes_32_canonical(seq, k).view(np.int32)
+    else:
+        hashes = sequence_kmer_hashes_32(seq, k).view(np.int32)
+    k_ = min(sketch_size, len(hashes))
+    perm = np.argsort(hashes, kind="stable")
+    return hashes[perm[:k_]].copy()
+
+
+def bottom_values_jaccard(h1: np.ndarray, h2: np.ndarray) -> float:
+    """Bottom-k union-merge Jaccard (BottomSketch.jaccard :37-64)."""
+    k = min(len(h1), len(h2))
+    i = j = inter = union = 0
+    while union < k:
+        if int(h1[i]) < int(h2[j]):
+            i += 1
+        elif int(h1[i]) > int(h2[j]):
+            j += 1
+        else:
+            inter += 1
+            i += 1
+            j += 1
+        union += 1
+    return inter / k if k else 0.0
+
+
 def bottom_sketch(seq: str, k: int, sketch_size: int) -> tuple[np.ndarray, int]:
     """Stage-2 sketch.
 
