@@ -162,6 +162,7 @@ def build_options() -> ParseOptions:
           "2) fast 3) sensitive.", 0)
     o.add("--backend", "device (TPU pipeline) or oracle (numpy "
           "reference).", "device")
+    o.add("--paf", "Emit PAF instead of MHAP M4 output.", False)
     return o
 
 
@@ -289,11 +290,14 @@ def _load_reads(path: str, store_full_id: bool):
 def _get_overlapper(cfg, backend, kmer_filter):
     from ..pipeline.overlapper import TpuOverlapper
 
-    if backend == "device" and kmer_filter is not None:
-        print("note: filter file supplied; device tf-idf path not yet "
-              "wired, using oracle backend.", file=sys.stderr)
-        backend = "oracle"
-    return TpuOverlapper(cfg) if backend == "device" else None
+    if backend != "device":
+        return None
+    vf = None
+    if kmer_filter is not None:
+        from ..pipeline.freqfilter import VectorFrequencyFilter
+
+        vf = VectorFrequencyFilter(kmer_filter)
+    return TpuOverlapper(cfg, kmer_filter=vf)
 
 
 def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
@@ -301,9 +305,12 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
     from ..io.fasta import list_sequence_files
     from ..oracle import pipeline as oracle_pipeline
 
+    from ..io.formats import write_lines
+
     s_file = o.get("-s").value
     q_file = o.get("-q").value
     no_self = o.get("--no-self").value
+    paf = o.get("--paf").value
     ov = _get_overlapper(cfg, backend, kmer_filter)
 
     t0 = time.time()
@@ -337,9 +344,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
             t0 = time.time()
             q_sel = np.nonzero(box.is_fwd)[0]
             lines = sorted(ov._find_matches(box, postings, box, q_sel, True))
-            for l in lines:
-                out.write(l + "\n")
-            lines_count += len(lines)
+            lines_count += write_lines(lines, out, paf)
             print(f"Time (s) to score and output to self: {time.time() - t0}",
                   file=sys.stderr)
         offset = n_box // 2
@@ -352,9 +357,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
                 q_sel = np.arange(len(queries))
                 lines = sorted(ov._find_matches(box, postings, queries,
                                                 q_sel, False))
-                for l in lines:
-                    out.write(l + "\n")
-                lines_count += len(lines)
+                lines_count += write_lines(lines, out, paf)
                 offset += len(queries)
                 print(f"Processed {len(queries)} to sequences.",
                       file=sys.stderr)
@@ -369,9 +372,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
             for sk in box:
                 if sk.is_fwd:
                     lines.extend(index.find_matches(sk, to_self=True))
-            for l in sorted(lines):
-                out.write(l + "\n")
-            lines_count += len(lines)
+            lines_count += write_lines(sorted(lines), out, paf)
         offset = len(box) // 2
         if q_file:
             for qf in list_sequence_files(q_file):
@@ -382,9 +383,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
                 lines = []
                 for sk in queries:
                     lines.extend(index.find_matches(sk, to_self=False))
-                for l in sorted(lines):
-                    out.write(l + "\n")
-                lines_count += len(lines)
+                lines_count += write_lines(sorted(lines), out, paf)
                 offset += len(queries)
     out.flush()
     print(f"Total matches found: {lines_count}", file=sys.stderr)

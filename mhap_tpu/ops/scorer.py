@@ -108,54 +108,6 @@ def _floor_mul(ov: jnp.ndarray, m: int, s: int) -> jnp.ndarray:
     return r.astype(I32)
 
 
-def _round_div(num_hi: jnp.ndarray, num_lo: jnp.ndarray, den: jnp.ndarray,
-               nbits: int = 48) -> jnp.ndarray:
-    """Java Math.round(num / den) == floor((2*num + den) / (2*den)).
-
-    num: signed 64-bit two's complement as (hi, lo) uint32 pair, |num| < 2**45.
-    den: positive int32 (< 2**31). Returns int32.
-    """
-    t = u64.add(u64.shl((num_hi, num_lo), 1), u64.from_u32(den.astype(U32)))
-    is_neg = (t[0] & U32(0x80000000)) != 0
-    mag = u64.select(is_neg, u64.neg(t), t)
-    d2 = den.astype(U32) << U32(1)
-    d2_u64 = u64.from_u32(d2)
-
-    def div_step(i, carry):
-        rem, q = carry
-        bit_idx = nbits - 1 - i  # traced int32, 0..nbits-1
-        hi_sel = bit_idx >= 32
-        sh_hi = jnp.uint32(jnp.clip(bit_idx - 32, 0, 31))
-        sh_lo = jnp.uint32(jnp.clip(bit_idx, 0, 31))
-        bit = jnp.where(hi_sel, (mag[0] >> sh_hi) & U32(1),
-                        (mag[1] >> sh_lo) & U32(1))
-        rem = u64.add(u64.shl(rem, 1), u64.from_u32(bit))
-        ge = ~u64.unsigned_lt(rem, d2_u64)
-        rem = u64.select(ge, u64.sub(rem, d2_u64), rem)
-        # quotient < 2**32, so ge is only ever true for bit_idx < 32
-        qbit = jnp.where(ge & (bit_idx < 32), U32(1) << sh_lo, U32(0))
-        return rem, q | qbit
-
-    rem0 = u64.const(0, den.shape)
-    q0 = jnp.zeros_like(den, dtype=U32)
-    rem, q = jax.lax.fori_loop(0, nbits, div_step, (rem0, q0))
-    rem_nonzero = (rem[0] | rem[1]) != 0
-    q_i = q.astype(I32)
-    # floor semantics for negative t: -(trunc + (remainder != 0))
-    return jnp.where(is_neg, -(q_i + rem_nonzero.astype(I32)), q_i)
-
-
-def _i64_from_prod_minus(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray):
-    """(a * b - c) as signed 64-bit (hi, lo): a,b >= 0 int32, c >= 0 int32."""
-    hi, lo = u64._mul32_full(a.astype(U32), b.astype(U32))
-    # subtract c (zero-extended)
-    cu = c.astype(U32)
-    nlo = lo - cu
-    borrow = (lo < cu).astype(U32)
-    nhi = hi - borrow
-    return nhi, nlo
-
-
 def _median_from(shifts: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
     """Upper median (Utils.quickSelect with k = cnt/2); shifts padded +MAX."""
     s = jnp.sort(shifts)
@@ -286,7 +238,19 @@ def _optimize_shifts(p1b, p2b, cnt, median, cap: int):
 
 
 def _edges(p1b, p2b, keep, median, abs_max, nk1, nk2):
-    """UMVU edge estimation (MatchData.computeEdges :90-137)."""
+    """UMVU edge estimation (MatchData.computeEdges :90-137).
+
+    Java computes round((n*lo - hi)/(n-1)) in double; since
+    n*lo - hi == (n-1)*lo + (lo - hi), this equals
+    lo + round((lo - hi)/(n-1)) exactly, and round(a/b) (half-up) is
+    floor((2a + b)/(2b)) -- all within int32 range (|lo-hi| < 2^25,
+    n <= cap), so a single floor-divide suffices.  (The double-precision
+    quotient is exact for these magnitudes, so double-rounding cannot
+    diverge: the fraction n*lo-hi is < 2^37 and n-1 < 2^13, both exactly
+    representable, and Math.round's floor(x+0.5) on a value within 2^-15
+    of a half-integer boundary only shifts when the true quotient is
+    exactly k+1/2, which the integer formula handles identically.)
+    """
     shifts = p2b - p1b
     valid = keep & (jnp.abs(shifts - median) <= abs_max)
     n = jnp.sum(valid).astype(I32)
@@ -298,8 +262,13 @@ def _edges(p1b, p2b, keep, median, abs_max, nk1, nk2):
     den = jnp.maximum(n - 1, 1)
 
     def umvu(lo, hi_):
-        # round((n*lo - hi) / (n-1))
-        return _round_div(*_i64_from_prod_minus(n, lo, hi_), den)
+        # Java: (int)(n*lo - hi) wraps in int32 BEFORE the double divide;
+        # jnp int32 multiply wraps identically.  round-half-up via
+        # q0 + (2*rem >= den) keeps everything in int32 range.
+        num = n * lo - hi_
+        q0 = jnp.floor_divide(num, den)
+        rem = num - q0 * den
+        return q0 + (2 * rem >= den).astype(I32)
 
     a1 = jnp.maximum(0, umvu(l1, r1))
     a2 = jnp.minimum(nk1, umvu(r1, l1))
@@ -382,6 +351,115 @@ def _prefilter_shared(a_h, a_p, m1, b_h, b_p, m2):
     return na_h, na_p, nm1, nb_h, nb_p, nm2
 
 
+def _fast_pass(a_h, a_p, m1, b_h, b_p, m2, median, abs_max,
+               v1l, v1u, v2l, v2u, cap: int):
+    """Vectorized recordMatchingKmers pass (per lane; vmapped by caller).
+
+    The merge automaton's behavior is per-hash-run local: for each hash
+    value shared by both (hash,pos)-sorted lists it records the (first
+    window-valid p1, first window-valid p2) pair if its shift passes the
+    median +- abs_max bound, then -- if either side's run extends -- the
+    (last consecutive valid p1, last valid p2) pair with no shift check,
+    and jumps both cursors past the run (BottomOverlapSketch.java:397-516).
+    That reduces to one sort + segment reductions, EXCEPT when
+      (a) a run has a window-invalid entry strictly between its first and
+          last valid entries (the extension stops there and the tail can
+          re-match), or
+      (b) the first-pair shift check fails while the advancing side has
+          more than one valid entry in the run (the automaton retries
+          within the run).
+    Those lanes are flagged (`needs_slow`) and must be re-scored with the
+    exact automaton (_merge_pass); all others are bit-exact here.
+
+    Returns (pos1 [cap], pos2 [cap], cnt, needs_slow).
+    """
+    S = a_h.shape[0]
+    n2 = 2 * S
+    slot = jnp.arange(S, dtype=I32)
+    real1 = slot < m1
+    real2 = slot < m2
+    ok1 = real1 & (a_p >= v1l) & (a_p < v1u)
+    ok2 = real2 & (b_p >= v2l) & (b_p < v2u)
+
+    vals = jnp.concatenate([a_h, b_h])
+    poss = jnp.concatenate([a_p, b_p])
+    tags = jnp.concatenate([jnp.zeros((S,), I32), jnp.ones((S,), I32)])
+    real = jnp.concatenate([real1, real2])
+    okv = jnp.concatenate([ok1, ok2])
+    is_pad = (~real).astype(U32)
+    _, s_h, s_tag, s_p, s_ok, s_real = jax.lax.sort(
+        (is_pad, vals, tags, poss, okv.astype(I32), real.astype(I32)),
+        num_keys=2)
+    s_ok = s_ok == 1
+    s_real = s_real == 1
+
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]]) & s_real
+    run_id = jnp.cumsum(new_run.astype(I32)) - 1
+    run_id_c = jnp.where(s_real, run_id, n2 - 1)
+    nruns = jnp.sum(new_run).astype(I32)
+
+    def seg(x, mask, op, fill):
+        data = jnp.where(mask, x, fill)
+        if op == "min":
+            return jax.ops.segment_min(data, run_id_c, num_segments=n2)
+        if op == "max":
+            return jax.ops.segment_max(data, run_id_c, num_segments=n2)
+        return jax.ops.segment_sum(data, run_id_c, num_segments=n2)
+
+    t0 = s_tag == 0
+    t1 = s_tag == 1
+    c1v = seg(jnp.ones((n2,), I32), s_ok & t0, "sum", 0)
+    c2v = seg(jnp.ones((n2,), I32), s_ok & t1, "sum", 0)
+    fp1 = seg(s_p, s_ok & t0, "min", _IMAX)
+    fp2 = seg(s_p, s_ok & t1, "min", _IMAX)
+    lp1 = seg(s_p, s_ok & t0, "max", -_IMAX - 1)
+    lp2 = seg(s_p, s_ok & t1, "max", -_IMAX - 1)
+    # interior window-invalid entries between first and last valid
+    fp1_b = fp1[run_id_c]
+    lp1_b = lp1[run_id_c]
+    fp2_b = fp2[run_id_c]
+    lp2_b = lp2[run_id_c]
+    bad1 = seg(jnp.ones((n2,), I32),
+               t0 & s_real & ~s_ok & (s_p > fp1_b) & (s_p < lp1_b),
+               "sum", 0) > 0
+    bad2 = seg(jnp.ones((n2,), I32),
+               t1 & s_real & ~s_ok & (s_p > fp2_b) & (s_p < lp2_b),
+               "sum", 0) > 0
+
+    valid_run = (c1v > 0) & (c2v > 0)
+    shift = fp2 - fp1
+    diff = shift - median
+    sf_hi = diff > abs_max
+    sf_lo = diff < -abs_max
+    flag = valid_run & ((sf_hi & (c1v > 1)) | (sf_lo & (c2v > 1))
+                        | bad1 | bad2)
+    needs_slow = jnp.any(flag)
+
+    rec_first = valid_run & ~sf_hi & ~sf_lo
+    moved = (lp1 != fp1) | (lp2 != fp2)
+    rec_last = rec_first & moved
+
+    rc = rec_first.astype(I32) + rec_last.astype(I32)
+    run_slot = jnp.arange(n2, dtype=I32)
+    rc = jnp.where(run_slot < nruns, rc, 0)
+    rec_first &= run_slot < nruns
+    rec_last &= run_slot < nruns
+    base = jnp.cumsum(rc) - rc  # exclusive prefix, in ascending-hash order
+    cnt = jnp.sum(rc).astype(I32)
+
+    p1b = jnp.full((cap,), _IMAX, I32)
+    p2b = jnp.full((cap,), _IMAX, I32)
+    # out-of-bounds index for non-recording runs -> dropped by the scatter
+    idx_f = jnp.where(rec_first, base, cap)
+    idx_l = jnp.where(rec_last, base + 1, cap)
+    p1b = p1b.at[idx_f].set(fp1, mode="drop")
+    p2b = p2b.at[idx_f].set(fp2, mode="drop")
+    p1b = p1b.at[idx_l].set(lp1, mode="drop")
+    p2b = p2b.at[idx_l].set(lp2, mode="drop")
+    return p1b, p2b, cnt, needs_slow
+
+
 def make_score_pairs(max_shift_percent: float, sketch_size: int,
                      cap: int | None = None, jit: bool = True):
     """Build the batched pair scorer for a given max-shift percent.
@@ -433,6 +511,61 @@ def make_score_pairs(max_shift_percent: float, sketch_size: int,
         return {
             "ok": ok, "inter": inter, "k": k, "valid_cnt": vcnt,
             "a1": a1, "a2": a2, "b1": b1, "b2": b2,
+        }
+
+    fn = jax.vmap(score_one)
+    return jax.jit(fn) if jit else fn
+
+
+def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
+                          cap: int | None = None, jit: bool = True):
+    """Vectorized-fast-path batched scorer.
+
+    Same outputs as make_score_pairs plus ``needs_slow`` (bool [P]): lanes
+    where the fast pass cannot reproduce the automaton bit-exactly (see
+    _fast_pass) and must be re-scored with make_score_pairs.  All other
+    lanes are exact.
+    """
+    m_c, s_c = fixed_point_constant(max_shift_percent)
+    if cap is None:
+        cap = 2 * sketch_size
+
+    def score_one(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk):
+        # pass 1: unconstrained windows -- positions are always in range,
+        # the shift bound can never fail (|shift| <= max(nk) < abs_max)
+        abs_max0 = jnp.maximum(a_nk, b_nk) + 1
+        p1b, p2b, cnt1, _ = _fast_pass(
+            a_h, a_p, a_m, b_h, b_p, b_m,
+            jnp.int32(0), abs_max0, jnp.int32(0), a_nk, jnp.int32(0), b_nk,
+            cap)
+        ok = cnt1 > 0
+
+        shifts1 = jnp.where(jnp.arange(cap) < cnt1, p2b - p1b, _IMAX)
+        median1, abs_max1 = _shift_stats(shifts1, cnt1, a_nk, b_nk, m_c, s_c)
+        v1l, v1u, v2l, v2u = _window_params(median1, abs_max1, a_nk, b_nk)
+
+        p1b, p2b, cnt2, needs_slow = _fast_pass(
+            a_h, a_p, a_m, b_h, b_p, b_m,
+            median1, abs_max1, v1l, v1u, v2l, v2u, cap)
+        ok = ok & (cnt2 > 0)
+
+        shifts2 = jnp.where(jnp.arange(cap) < cnt2, p2b - p1b, _IMAX)
+        median2 = _median_from(shifts2, cnt2)
+        keep, cnt3 = _optimize_shifts(p1b, p2b, cnt2, median2, cap)
+        ok = ok & (cnt3 > 0)
+
+        shifts3 = jnp.where(keep, p2b - p1b, _IMAX)
+        median3, abs_max3 = _shift_stats(shifts3, cnt3, a_nk, b_nk, m_c, s_c)
+        eok, vcnt, a1, a2, b1, b2 = _edges(
+            p1b, p2b, keep, median3, abs_max3, a_nk, b_nk)
+        ok = ok & eok
+
+        inter, k = _windowed_jaccard(a_h, a_p, a_m, b_h, b_p, b_m,
+                                     a1, a2, b1, b2)
+        return {
+            "ok": ok, "inter": inter, "k": k, "valid_cnt": vcnt,
+            "a1": a1, "a2": a2, "b1": b1, "b2": b2,
+            "needs_slow": needs_slow,
         }
 
     fn = jax.vmap(score_one)

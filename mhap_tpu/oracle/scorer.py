@@ -137,13 +137,16 @@ class MatchState:
             return None
         n = valid
 
-        def _round(x: float) -> int:
-            return int(math.floor(x + 0.5))  # Java Math.round
+        def _umvu(lo: int, hi: int) -> int:
+            # Java: (int)(n*lo - hi) wraps in int32 before the double divide
+            # (BottomOverlapSketch.java:131-134), then Math.round
+            num = ((n * lo - hi + 2**31) % 2**32) - 2**31
+            return int(math.floor(num / (n - 1) + 0.5))
 
-        a1 = max(0, _round((n * l1 - r1) / (n - 1)))
-        a2 = min(self.seq_len1, _round((n * r1 - l1) / (n - 1)))
-        b1 = max(0, _round((n * l2 - r2) / (n - 1)))
-        b2 = min(self.seq_len2, _round((n * r2 - l2) / (n - 1)))
+        a1 = max(0, _umvu(l1, r1))
+        a2 = min(self.seq_len1, _umvu(r1, l1))
+        b1 = max(0, _umvu(l2, r2))
+        b2 = min(self.seq_len2, _umvu(r2, l2))
         return a1, a2, b1, b2, valid
 
 

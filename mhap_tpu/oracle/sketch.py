@@ -47,13 +47,31 @@ def xorshift64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def sequence_kmer_hashes_128(seq: str, k: int, seed: int = 0) -> np.ndarray:
-    """All k-mer hashes of a sequence (uint64 [n]); no canonicalization."""
+def sequence_kmer_hashes_128(seq: str, k: int, seed: int = 0,
+                             canonical: bool = False) -> np.ndarray:
+    """All k-mer hashes of a sequence (uint64 [n]).
+
+    canonical=True hashes min(kmer, rc(kmer)) lexicographically
+    (HashUtils.computeSequenceHashesLong doReverseCompliment path); the
+    main read path uses canonical=False (SequenceSketch.java:111-115)."""
     codes = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
     n = len(codes) - k + 1
     if n < 1:
         raise ZeroNGramsFound("N-gram size bigger than string length.")
     windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+    if canonical:
+        from .seq import reverse_complement
+
+        rc = np.frombuffer(reverse_complement(seq).encode("ascii"),
+                           dtype=np.uint8)
+        rwin = np.lib.stride_tricks.sliding_window_view(rc, k)[::-1]
+        # lexicographic compare per window
+        windows = windows.copy()
+        for i in range(n):
+            a, b = windows[i], rwin[i]
+            neq = np.nonzero(a != b)[0]
+            if len(neq) and b[neq[0]] < a[neq[0]]:
+                windows[i] = b
     return _m3.hash_kmers_128(windows, seed)
 
 
@@ -150,9 +168,10 @@ def weighted_minhash(kmer_hashes: np.ndarray, num_hashes: int,
 
 
 def minhash_sketch(seq: str, k: int, num_hashes: int, kmer_filter=None,
-                   repeat_weight: float = -1.0) -> np.ndarray:
-    return weighted_minhash(sequence_kmer_hashes_128(seq, k, 0), num_hashes,
-                            kmer_filter, repeat_weight)
+                   repeat_weight: float = -1.0,
+                   canonical: bool = False) -> np.ndarray:
+    return weighted_minhash(sequence_kmer_hashes_128(seq, k, 0, canonical),
+                            num_hashes, kmer_filter, repeat_weight)
 
 
 def sequence_kmer_hashes_32_canonical(seq: str, k: int) -> np.ndarray:

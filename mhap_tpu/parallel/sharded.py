@@ -69,8 +69,9 @@ def make_self_overlap_step(mesh: Mesh, cfg: dict, *, top_k: int = 8,
     if H % D:
         raise ValueError(f"num_hashes={H} not divisible by mesh size {D}")
     Hl = H // D
-    score_one = _kscorer.make_score_pairs(
-        cfg["max_shift"], S, jit=False)
+    score_fast = _kscorer.make_score_pairs_fast(cfg["max_shift"], S,
+                                                jit=False)
+    score_slow = _kscorer.make_score_pairs(cfg["max_shift"], S, jit=False)
 
     def local_sketch(seq, lens):
         B, L = seq.shape
@@ -150,9 +151,19 @@ def make_self_overlap_step(mesh: Mesh, cfg: dict, *, top_k: int = 8,
         c_om = jnp.where(valid.reshape(-1), om_all[flat], 0)
         c_nk = nk_all[flat]
         rep = lambda x: jnp.repeat(x, top_k, axis=0)
-        out = score_one(rep(oh), rep(op),
-                        jnp.where(valid.reshape(-1), rep(om), 0), rep(nk),
-                        c_oh, c_op, c_om, c_nk)
+        sargs = (rep(oh), rep(op),
+                 jnp.where(valid.reshape(-1), rep(om), 0), rep(nk),
+                 c_oh, c_op, c_om, c_nk)
+        out = score_fast(*sargs)
+        needs_slow = out.pop("needs_slow") & valid.reshape(-1)
+        # exact-automaton fallback, executed only when some lane flags
+        # (batch-level cond; the predicate is a per-device scalar)
+        slow = jax.lax.cond(
+            jnp.any(needs_slow),
+            lambda: score_slow(*sargs),
+            lambda: {k: out[k] for k in
+                     ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2")})
+        out = {k: jnp.where(needs_slow, slow[k], v) for k, v in out.items()}
         res = {k: v.reshape(b, top_k).astype(I32) for k, v in out.items()}
         res["votes"] = top_votes
         res["cand"] = top_idx

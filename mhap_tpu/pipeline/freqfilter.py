@@ -1,0 +1,88 @@
+"""Vectorized tf-idf k-mer filter for the device pipeline.
+
+Wraps the parsing/semantics oracle (oracle/filter.py, parity target
+sketch/FrequencyCounts.java) into dense numpy arrays so the per-batch
+weight computation is vectorized:
+
+  * ``keep_mask``  -- keepKmer (suppress-noise==1 drops non-file k-mers)
+  * ``weights``    -- MinHashSketch.java:95-128 weight modes.  The tf-idf
+    product and Math.round run in IEEE-754 float64 (numpy), which is
+    bit-identical to Java's double arithmetic, so device sketches stay
+    exactly parity with the reference.
+
+The sketch kernels stay on device; only the weight table lookup (a
+data-dependent hash-map probe) runs host-side.  A fully device-resident
+variant (sorted-table searchsorted + integer fixed-point rounding) is the
+planned optimization once profiling shows the host hop matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..oracle.filter import FrequencyCounts
+
+
+class VectorFrequencyFilter:
+    def __init__(self, fc: FrequencyCounts):
+        self.fc = fc
+        self.remove_unique = fc.remove_unique
+        self.no_tf = fc.no_tf
+        self.range = fc.range
+
+        keys = np.fromiter(fc.fraction_counts.keys(), dtype=np.uint64,
+                           count=len(fc.fraction_counts))
+        order = np.argsort(keys)
+        self.frac_keys = keys[order]
+        # scaled idf per *file* k-mer, precomputed in float64 (Java double)
+        self.frac_sidf = np.asarray(
+            [fc.scaled_idf(int(k)) for k in self.frac_keys], dtype=np.float64)
+        if fc.valid_mers is not None:
+            self.valid_keys = np.sort(np.fromiter(
+                fc.valid_mers, dtype=np.uint64, count=len(fc.valid_mers)))
+        else:
+            self.valid_keys = None
+
+    def _member(self, table: np.ndarray, h: np.ndarray) -> np.ndarray:
+        if len(table) == 0:
+            return np.zeros(h.shape, bool)
+        idx = np.searchsorted(table, h)
+        idx_c = np.minimum(idx, len(table) - 1)
+        return table[idx_c] == h
+
+    def keep_mask(self, h: np.ndarray) -> np.ndarray:
+        """keepKmer (FrequencyCounts.java:272-278) vectorized."""
+        if self.remove_unique == 1:
+            return self._member(self.valid_keys, h)
+        return np.ones(h.shape, bool)
+
+    def is_popular(self, h: np.ndarray) -> np.ndarray:
+        return self._member(self.frac_keys, h)
+
+    def scaled_idf(self, h: np.ndarray) -> np.ndarray:
+        """scaledIdf (FrequencyCounts.java:290-311) vectorized, float64."""
+        out = np.full(h.shape, float(self.range), dtype=np.float64)
+        if len(self.frac_keys):
+            idx = np.searchsorted(self.frac_keys, h)
+            idx_c = np.minimum(idx, len(self.frac_keys) - 1)
+            found = self.frac_keys[idx_c] == h
+            out[found] = self.frac_sidf[idx_c[found]]
+        if self.remove_unique == 2 and self.valid_keys is not None:
+            out[~self._member(self.valid_keys, h)] = 1.0
+        return out
+
+    def weights(self, keys: np.ndarray, counts: np.ndarray,
+                repeat_weight: float) -> np.ndarray:
+        """Integer weights per unique k-mer (MinHashSketch.java:95-128)."""
+        counts = np.asarray(counts, dtype=np.int64)
+        if repeat_weight < 0.0:
+            w = np.ones(keys.shape, np.int64)
+            w[self.is_popular(keys)] = 0
+            return w
+        if 0.0 <= repeat_weight < 1.0:
+            tf = np.ones(keys.shape, np.float64) if self.no_tf \
+                else counts.astype(np.float64)
+            prod = tf * self.scaled_idf(keys)          # Java double multiply
+            w = np.floor(prod + 0.5).astype(np.int64)  # Java Math.round
+            return np.maximum(1, w)
+        return counts.copy()

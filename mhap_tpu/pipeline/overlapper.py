@@ -104,14 +104,19 @@ class SketchStore:
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
-    def __init__(self, cfg=None, w_caps=(8, 64, 512), pair_chunk: int = 512):
+    def __init__(self, cfg=None, w_caps=(8, 64, 512), pair_chunk: int = 512,
+                 kmer_filter=None):
         self.cfg = dict(DEFAULTS)
         if cfg:
             self.cfg.update(cfg)
         self.w_caps = tuple(w_caps)
         self.pair_chunk = pair_chunk
-        self._score_fn = _kscorer.make_score_pairs(
+        self.kmer_filter = kmer_filter  # VectorFrequencyFilter or None
+        self._score_fast = _kscorer.make_score_pairs_fast(
             self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
+        self._score_slow = _kscorer.make_score_pairs(
+            self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
+        self.slow_pair_count = 0  # observability: automaton fallbacks
 
     # ---------------- sketching ----------------
 
@@ -129,13 +134,28 @@ class TpuOverlapper:
         valid1 = jnp.arange(n1)[None, :] < (lens_j[:, None] - k1 + 1)
         hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
 
-        # escalate through weight caps until every read fits
+        if self.kmer_filter is not None:
+            mh, mh_valid = self._minhash_filtered(hi, lo, np.asarray(
+                jnp.arange(n1)[None, :] < (lens_j[:, None] - k1 + 1)))
+        else:
+            mh, mh_valid = self._minhash_unfiltered(hi, lo, valid1, H)
+
+        n2 = L - k2 + 1
+        valid2 = jnp.arange(n2)[None, :] < (lens_j[:, None] - k2 + 1)
+        h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
+        oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
+        num_kmers = np.maximum(lens - k2 + 1, 0).astype(np.int32)
+        return mh, mh_valid, np.asarray(oh), np.asarray(op), np.asarray(om), num_kmers
+
+    def _minhash_unfiltered(self, hi, lo, valid1, H):
+        """tf-mode sketch (no filter file): weights = occurrence counts,
+        computed fully on device with weight-cap escalation."""
         mh = None
         for cap in self.w_caps:
             sketch, n_valid, max_w = _sketch_minhash_with_maxw(
                 hi, lo, valid1, H, cap)
             if mh is None:
-                mh, nv = np.asarray(sketch), np.asarray(n_valid)
+                mh, nv = np.array(sketch), np.asarray(n_valid)
                 maxw_np = np.asarray(max_w)
                 redo = maxw_np > cap
             else:
@@ -148,14 +168,61 @@ class TpuOverlapper:
             if redo.any():
                 raise RuntimeError(
                     f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
-        mh_valid = nv > 0
+        return mh, nv > 0
 
-        n2 = L - k2 + 1
-        valid2 = jnp.arange(n2)[None, :] < (lens_j[:, None] - k2 + 1)
-        h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
-        oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
-        num_kmers = np.maximum(lens - k2 + 1, 0).astype(np.int32)
-        return mh, mh_valid, np.asarray(oh), np.asarray(op), np.asarray(om), num_kmers
+    def _minhash_filtered(self, hi, lo, window_valid):
+        """Filtered sketch: device hashing, vectorized host keepKmer +
+        tf-idf weights (exact Java double semantics, see freqfilter.py),
+        device min-reduce."""
+        import jax
+
+        cfg = self.cfg
+        H = cfg["num_hashes"]
+        f = self.kmer_filter
+        h64 = (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | \
+            np.asarray(lo, dtype=np.uint64)
+        valid = window_valid & f.keep_mask(h64)
+
+        # group duplicates per row: sort by (invalid, hash), stable
+        B, n = h64.shape
+        o1 = np.argsort(h64, axis=1, kind="stable")
+        inval_s = np.take_along_axis(~valid, o1, 1)
+        o2 = np.argsort(inval_s, axis=1, kind="stable")
+        order = np.take_along_axis(o1, o2, 1).astype(np.int32)
+        s_h = np.take_along_axis(h64, order, 1)
+        s_valid = np.take_along_axis(valid, order, 1)
+        prev_same = np.zeros((B, n), bool)
+        prev_same[:, 1:] = s_h[:, 1:] == s_h[:, :-1]
+        first = s_valid & ~prev_same
+        # run lengths via position-difference of first indices
+        counts = np.zeros((B, n), np.int64)
+        nvalid_row = s_valid.sum(axis=1)
+        for b in range(B):
+            fi = np.nonzero(first[b])[0]
+            if len(fi) == 0:
+                continue
+            ends = np.append(fi[1:], nvalid_row[b])
+            counts[b, fi] = ends - fi
+        w = np.zeros((B, n), np.int64)
+        fm = first.reshape(-1)
+        if fm.any():
+            w.reshape(-1)[fm] = f.weights(
+                s_h.reshape(-1)[fm], counts.reshape(-1)[fm],
+                cfg["repeat_weight"])
+        active = first & (w > 0)
+        nv = active.sum(axis=1)
+        w_max = max(int(w.max()) if w.size else 1, 1)
+        for cap in self.w_caps:
+            if w_max <= cap:
+                w_max = cap
+                break
+        s_hi = jnp.asarray((s_h >> np.uint64(32)).astype(np.uint32))
+        s_lo = jnp.asarray((s_h & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        mh = _minhash.weighted_min_reduce(
+            s_hi, s_lo, jnp.asarray(w.astype(np.int32)),
+            jnp.asarray(active), jnp.asarray(order),
+            num_hashes=H, w_max=w_max)
+        return np.asarray(mh), nv > 0
 
     def sketch_reads(self, reads: list[str], headers=None, offset: int = 0,
                      do_rc: bool = True) -> SketchStore:
@@ -270,40 +337,81 @@ class TpuOverlapper:
 
     # ---------------- pair scoring ----------------
 
+    def _score_chunk(self, fn, qs, cs, qq, cc):
+        return fn(
+            jnp.asarray(qs.ordered_h[qq]), jnp.asarray(qs.ordered_p[qq]),
+            jnp.asarray(qs.ordered_m[qq]), jnp.asarray(qs.num_kmers[qq]),
+            jnp.asarray(cs.ordered_h[cc]), jnp.asarray(cs.ordered_p[cc]),
+            jnp.asarray(cs.ordered_m[cc]), jnp.asarray(cs.num_kmers[cc]))
+
     def score_pairs(self, qs: SketchStore, cs: SketchStore,
                     qi: np.ndarray, ci: np.ndarray):
         """Batched stage-2 scoring of (qs[qi[t]], cs[ci[t]]) pairs.
 
-        Returns (score float64 [T], raw float64 [T], a1, a2, b1, b2 int32)."""
+        Two-phase dispatch: the vectorized fast pass scores every pair; the
+        rare lanes it flags (duplicate-run/shift-retry corner cases, see
+        ops/scorer._fast_pass) are re-scored with the exact sequential
+        automaton, so the result set is bit-identical to the reference.
+
+        Returns (score float64 [T], raw float64 [T], edges int32 [T, 4])."""
         T = len(qi)
         k2 = self.cfg["ordered_kmer_size"]
         score = np.zeros(T, np.float64)
         raw = np.zeros(T, np.float64)
         edges = np.zeros((T, 4), np.int32)
+        slow_q, slow_c, slow_t = [], [], []
         P = self.pair_chunk
+
+        def fill(dst_idx, out, sel=None):
+            o = {k: np.asarray(v) for k, v in out.items()}
+            if sel is not None:
+                o = {k: v[sel] for k, v in o.items()}
+            ok = o["ok"].astype(bool)
+            kk = o["k"]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                j = np.where(kk > 0, o["inter"] / np.maximum(kk, 1), 0.0)
+            sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
+                           for x in j])
+            score[dst_idx] = np.where(ok, sc, 0.0)
+            raw[dst_idx] = np.where(ok, o["valid_cnt"].astype(np.float64), 0.0)
+            for n, name in enumerate(("a1", "a2", "b1", "b2")):
+                edges[dst_idx, n] = np.where(ok, o[name], 0)
+
         for s in range(0, T, P):
             e = min(s + P, T)
             pad = P - (e - s)
             qq = np.concatenate([qi[s:e], np.repeat(qi[s:s + 1], pad)])
             cc = np.concatenate([ci[s:e], np.repeat(ci[s:s + 1], pad)])
-            out = self._score_fn(
-                jnp.asarray(qs.ordered_h[qq]), jnp.asarray(qs.ordered_p[qq]),
-                jnp.asarray(qs.ordered_m[qq]), jnp.asarray(qs.num_kmers[qq]),
-                jnp.asarray(cs.ordered_h[cc]), jnp.asarray(cs.ordered_p[cc]),
-                jnp.asarray(cs.ordered_m[cc]), jnp.asarray(cs.num_kmers[cc]))
-            out = {k: np.asarray(v)[:e - s] for k, v in out.items()}
-            ok = out["ok"].astype(bool)
-            kk = out["k"]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                j = np.where(kk > 0, out["inter"] / np.maximum(kk, 1), 0.0)
-            sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
-                           for x in j])
-            score[s:e] = np.where(ok, sc, 0.0)
-            raw[s:e] = np.where(ok, out["valid_cnt"].astype(np.float64), 0.0)
-            edges[s:e, 0] = np.where(ok, out["a1"], 0)
-            edges[s:e, 1] = np.where(ok, out["a2"], 0)
-            edges[s:e, 2] = np.where(ok, out["b1"], 0)
-            edges[s:e, 3] = np.where(ok, out["b2"], 0)
+            out = self._score_chunk(self._score_fast, qs, cs, qq, cc)
+            ns = np.asarray(out["needs_slow"])[:e - s]
+            dst = np.arange(s, e)
+            fill(dst, {k: np.asarray(v)[:e - s] for k, v in out.items()})
+            if ns.any():
+                slow_t.extend(dst[ns])
+                slow_q.extend(qq[:e - s][ns])
+                slow_c.extend(cc[:e - s][ns])
+
+        if slow_t:
+            self.slow_pair_count += len(slow_t)
+            sq = np.asarray(slow_q)
+            sc_ = np.asarray(slow_c)
+            st = np.asarray(slow_t)
+            s = 0
+            while s < len(st):
+                # flagged lanes are rare: pad to small power-of-2 buckets so
+                # the automaton chunk doesn't cost a full pair_chunk
+                rem = len(st) - s
+                B = 32
+                while B < rem and B < P:
+                    B *= 2
+                e = min(s + B, len(st))
+                pad = B - (e - s)
+                qq = np.concatenate([sq[s:e], np.repeat(sq[s:s + 1], pad)])
+                cc = np.concatenate([sc_[s:e], np.repeat(sc_[s:s + 1], pad)])
+                out = self._score_chunk(self._score_slow, qs, cs, qq, cc)
+                fill(st[s:e],
+                     {k: np.asarray(v)[:e - s] for k, v in out.items()})
+                s = e
         return score, raw, edges
 
     # ---------------- match driving ----------------

@@ -248,6 +248,52 @@ def test_scorer_fuzz_short_pairs():
         assert osc.jaccard_to_identity(float(j), k) == want[0], f"pair {i}"
 
 
+def test_fast_scorer_matches_automaton():
+    """Vectorized fast pass == sequential automaton on unflagged lanes;
+    flagged lanes exist and are correctly detected (repeat-heavy pairs)."""
+    rng = np.random.default_rng(19)
+    k, S = 12, 256
+    genome = random_reads(rng, 1, 5000, 5001)[0]
+    pairs = []
+    for _ in range(12):
+        a = int(rng.integers(0, 3000))
+        b = int(rng.integers(max(0, a - 600), min(3500, a + 600)))
+        pairs.append((_mutate(rng, genome[a:a + 1200]),
+                      _mutate(rng, genome[b:b + 1200])))
+    reps = repeat_reads(rng, 6)
+    pairs.append((reps[0] + reps[1] + reps[0], reps[0] + reps[2]))
+    pairs.append((reps[3] * 2 + reps[4], reps[4] + reps[3]))
+
+    fast = ksc.make_score_pairs_fast(0.2, S)
+    slow = ksc.make_score_pairs(0.2, S)
+    args = _pack_pairs(pairs, k, S)
+    fo = {kk: np.asarray(v) for kk, v in fast(*args).items()}
+    so = {kk: np.asarray(v) for kk, v in slow(*args).items()}
+    for i in range(len(pairs)):
+        if fo["needs_slow"][i]:
+            continue  # fast path defers; pipeline re-runs the automaton
+        for key in ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2"):
+            assert fo[key][i] == so[key][i], f"pair {i} field {key}"
+
+
+def test_fast_scorer_pipeline_end_to_end(synthetic_reads):
+    """The two-phase dispatcher output equals the oracle (covers flagged
+    lanes being re-run through the automaton)."""
+    from mhap_tpu.oracle import pipeline as op
+    from mhap_tpu.pipeline.overlapper import TpuOverlapper
+
+    genome, reads, positions = synthetic_reads
+    cfg = dict(num_hashes=128, ordered_sketch_size=512, num_min_matches=2)
+    # add repeat-rich reads to exercise the slow path
+    rng = np.random.default_rng(23)
+    reps = repeat_reads(rng, 4)
+    mixed = reads[:8] + [reps[0] + reps[1] + reps[0] + reps[2],
+                         reps[2] + reps[0] + reps[1]]
+    want = op.overlap_self(mixed, cfg)
+    got = TpuOverlapper(cfg, pair_chunk=64).overlap_self(mixed)
+    assert got == want
+
+
 def test_xorshift_u64_parity():
     rng = np.random.default_rng(17)
     vals = rng.integers(0, 2**64, 256, dtype=np.uint64)
