@@ -517,36 +517,195 @@ def make_score_pairs(max_shift_percent: float, sketch_size: int,
     return jax.jit(fn) if jit else fn
 
 
+_OP_FILL = {"sum": 0, "min": None, "max": None}  # min/max fills per-leaf
+
+
+def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray) -> dict:
+    """Backward segmented inclusive scan carrying several reductions at
+    once (no scatters, no data-dependent control flow).
+
+    leaves: name -> (values, op) with op in {sum, min, max}.  Segments are
+    delimited by ``run_last`` flags (an element is the last of its run).
+    Result[e] = reduction over elements e..end_of_run(e); read at a run's
+    FIRST element it is the whole-run aggregate.
+
+    Implemented as a log2(n)-step segmented Hillis-Steele doubling scan
+    (v'[e] = f[e] ? v[e] : op(v[e], v[e+d]); f'[e] = f[e] | f[e+d]) --
+    a small static graph, unlike lax.associative_scan's recursive
+    construction which explodes trace/compile time at this width.
+    """
+    names = list(leaves)
+    ops = [leaves[n][1] for n in names]
+    vals = [leaves[n][0] for n in names]
+    n = run_last.shape[0]
+    fills = []
+    for op, v in zip(ops, vals):
+        if op == "sum":
+            fills.append(jnp.zeros((), v.dtype))
+        elif op == "min":
+            fills.append(jnp.asarray(jnp.iinfo(v.dtype).max, v.dtype))
+        else:
+            fills.append(jnp.asarray(jnp.iinfo(v.dtype).min, v.dtype))
+
+    f = run_last
+    d = 1
+    while d < n:
+        fs = jnp.concatenate([f[d:], jnp.ones((d,), bool)])
+        nv = []
+        for op, v, fill in zip(ops, vals, fills):
+            vs = jnp.concatenate([v[d:], jnp.full((d,), fill, v.dtype)])
+            if op == "sum":
+                m = v + vs
+            elif op == "min":
+                m = jnp.minimum(v, vs)
+            else:
+                m = jnp.maximum(v, vs)
+            nv.append(jnp.where(f, v, m))
+        vals = nv
+        f = f | (~f & fs)
+        d *= 2
+    return dict(zip(names, vals))
+
+
+def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
+    """Master sort for the scan-based fast path: both (hash,pos)-sorted
+    lists merged into one [2S] array ordered by (pad, hash, tag, pos) --
+    each shared-hash run is contiguous with side-0 entries (pos ascending)
+    before side-1 entries."""
+    S = a_h.shape[0]
+    slot = jnp.arange(S, dtype=I32)
+    is_pad = jnp.concatenate([slot >= a_m, slot >= b_m]).astype(U32)
+    h = jnp.concatenate([a_h, b_h])
+    p = jnp.concatenate([a_p, b_p])
+    tag = jnp.concatenate([jnp.zeros((S,), I32), jnp.ones((S,), I32)])
+    ip, s_h, s_tag, s_p = jax.lax.sort((is_pad, h, tag, p), num_keys=4)
+    real = ip == 0
+    n2 = 2 * S
+    first = real & jnp.concatenate(
+        [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]])
+    last = real & jnp.concatenate(
+        [(s_h[1:] != s_h[:-1]) | (ip[1:] != 0), jnp.ones((1,), bool)])
+    idx = jnp.arange(n2, dtype=I32)
+    return dict(h=s_h, p=s_p, tag=s_tag, real=real, first=first, last=last,
+                idx=idx)
+
+
+def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u, cap: int):
+    """Scan-based recordMatchingKmers pass on the master structure.
+
+    Exact except for the flagged corner cases (same rules as _fast_pass);
+    returns (pos1 [cap], pos2 [cap], cnt, needs_slow)."""
+    p, tag, real = st["p"], st["tag"], st["real"]
+    idx, first, last = st["idx"], st["first"], st["last"]
+    n2 = p.shape[0]
+    t0 = tag == 0
+    t1 = tag == 1
+    okv = real & jnp.where(t0, (p >= v1l) & (p < v1u),
+                           (p >= v2l) & (p < v2u))
+    one = jnp.ones((n2,), I32)
+    agg = seg_suffix_scan({
+        "c1": (jnp.where(okv & t0, one, 0), "sum"),
+        "c2": (jnp.where(okv & t1, one, 0), "sum"),
+        "fp1": (jnp.where(okv & t0, p, _IMAX), "min"),
+        "fp2": (jnp.where(okv & t1, p, _IMAX), "min"),
+        "lp1": (jnp.where(okv & t0, p, -_IMAX - 1), "max"),
+        "lp2": (jnp.where(okv & t1, p, -_IMAX - 1), "max"),
+        "i1min": (jnp.where(okv & t0, idx, _IMAX), "min"),
+        "i1max": (jnp.where(okv & t0, idx, -1), "max"),
+        "i2min": (jnp.where(okv & t1, idx, _IMAX), "min"),
+        "i2max": (jnp.where(okv & t1, idx, -1), "max"),
+    }, last)
+
+    # evaluate at run representatives (first element of each run)
+    valid_run = first & (agg["c1"] > 0) & (agg["c2"] > 0)
+    # interior window-invalid entries: per-side element span != valid count
+    # (side blocks are contiguous and pos-ascending after the master sort)
+    bad1 = (agg["i1max"] - agg["i1min"] + 1) != agg["c1"]
+    bad2 = (agg["i2max"] - agg["i2min"] + 1) != agg["c2"]
+    shift = agg["fp2"] - agg["fp1"]
+    diff = shift - median
+    sf_hi = diff > abs_max
+    sf_lo = diff < -abs_max
+    flag = valid_run & ((sf_hi & (agg["c1"] > 1)) | (sf_lo & (agg["c2"] > 1))
+                        | bad1 | bad2)
+    needs_slow = jnp.any(flag)
+
+    rec_first = valid_run & ~sf_hi & ~sf_lo
+    moved = (agg["lp1"] != agg["fp1"]) | (agg["lp2"] != agg["fp2"])
+    rec_last = rec_first & moved
+    rc = rec_first.astype(I32) + rec_last.astype(I32)
+    base = jnp.cumsum(rc) - rc
+    cnt = jnp.sum(rc).astype(I32)
+
+    p1b = jnp.full((cap,), _IMAX, I32)
+    p2b = jnp.full((cap,), _IMAX, I32)
+    idx_f = jnp.where(rec_first, base, cap)
+    idx_l = jnp.where(rec_last, base + 1, cap)
+    p1b = p1b.at[idx_f].set(agg["fp1"], mode="drop")
+    p2b = p2b.at[idx_f].set(agg["fp2"], mode="drop")
+    p1b = p1b.at[idx_l].set(agg["lp1"], mode="drop")
+    p2b = p2b.at[idx_l].set(agg["lp2"], mode="drop")
+    return p1b, p2b, cnt, needs_slow
+
+
+def _windowed_jaccard_scan(st, m1, m2, a1, a2, b1, b2):
+    """computeKBottomSketchJaccard closed form on the master structure."""
+    p, tag, real = st["p"], st["tag"], st["real"]
+    first, last = st["first"], st["last"]
+    n2 = p.shape[0]
+    t0 = tag == 0
+    t1 = tag == 1
+    in1 = real & t0 & (p >= a1) & (p <= a2)
+    in2 = real & t1 & (p >= b1) & (p <= b2)
+    s1 = jnp.sum(in1).astype(I32)
+    s2 = jnp.sum(in2).astype(I32)
+    k = jnp.minimum(s1, s2)
+    one = jnp.ones((n2,), I32)
+    agg = seg_suffix_scan({
+        "c1": (jnp.where(in1, one, 0), "sum"),
+        "c2": (jnp.where(in2, one, 0), "sum"),
+    }, last)
+    c1 = jnp.where(first, agg["c1"], 0)
+    c2 = jnp.where(first, agg["c2"], 0)
+    u = jnp.maximum(c1, c2)
+    i_ = jnp.minimum(c1, c2)
+    cum_u = jnp.cumsum(u) - u  # exclusive, ascending hash order
+    remaining = jnp.maximum(k - cum_u, 0)
+    inter = jnp.sum(jnp.minimum(remaining, i_)).astype(I32)
+    return inter, k
+
+
 def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
                           cap: int | None = None, jit: bool = True):
-    """Vectorized-fast-path batched scorer.
+    """Vectorized-fast-path batched scorer (one master sort + segmented
+    scans; no data-dependent loops).
 
     Same outputs as make_score_pairs plus ``needs_slow`` (bool [P]): lanes
     where the fast pass cannot reproduce the automaton bit-exactly (see
-    _fast_pass) and must be re-scored with make_score_pairs.  All other
-    lanes are exact.
+    _fast_pass_scan) and must be re-scored with make_score_pairs.  All
+    other lanes are exact.
     """
     m_c, s_c = fixed_point_constant(max_shift_percent)
     if cap is None:
         cap = 2 * sketch_size
 
     def score_one(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk):
-        # pass 1: unconstrained windows -- positions are always in range,
-        # the shift bound can never fail (|shift| <= max(nk) < abs_max)
+        st = _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m)
+
+        # pass 1: unconstrained windows -- positions always in range, the
+        # shift bound can never fail (|shift| <= max(nk) < abs_max)
         abs_max0 = jnp.maximum(a_nk, b_nk) + 1
-        p1b, p2b, cnt1, _ = _fast_pass(
-            a_h, a_p, a_m, b_h, b_p, b_m,
-            jnp.int32(0), abs_max0, jnp.int32(0), a_nk, jnp.int32(0), b_nk,
-            cap)
+        p1b, p2b, cnt1, _ = _fast_pass_scan(
+            st, jnp.int32(0), abs_max0, jnp.int32(0), a_nk,
+            jnp.int32(0), b_nk, cap)
         ok = cnt1 > 0
 
         shifts1 = jnp.where(jnp.arange(cap) < cnt1, p2b - p1b, _IMAX)
         median1, abs_max1 = _shift_stats(shifts1, cnt1, a_nk, b_nk, m_c, s_c)
         v1l, v1u, v2l, v2u = _window_params(median1, abs_max1, a_nk, b_nk)
 
-        p1b, p2b, cnt2, needs_slow = _fast_pass(
-            a_h, a_p, a_m, b_h, b_p, b_m,
-            median1, abs_max1, v1l, v1u, v2l, v2u, cap)
+        p1b, p2b, cnt2, needs_slow = _fast_pass_scan(
+            st, median1, abs_max1, v1l, v1u, v2l, v2u, cap)
         ok = ok & (cnt2 > 0)
 
         shifts2 = jnp.where(jnp.arange(cap) < cnt2, p2b - p1b, _IMAX)
@@ -560,8 +719,7 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
             p1b, p2b, keep, median3, abs_max3, a_nk, b_nk)
         ok = ok & eok
 
-        inter, k = _windowed_jaccard(a_h, a_p, a_m, b_h, b_p, b_m,
-                                     a1, a2, b1, b2)
+        inter, k = _windowed_jaccard_scan(st, a_m, b_m, a1, a2, b1, b2)
         return {
             "ok": ok, "inter": inter, "k": k, "valid_cnt": vcnt,
             "a1": a1, "a2": a2, "b1": b1, "b2": b2,

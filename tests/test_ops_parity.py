@@ -294,6 +294,27 @@ def test_fast_scorer_pipeline_end_to_end(synthetic_reads):
     assert got == want
 
 
+def test_seg_suffix_scan_vs_numpy():
+    rng = np.random.default_rng(29)
+    n = 257
+    vals = rng.integers(0, 1000, n).astype(np.int32)
+    run_last = rng.random(n) < 0.2
+    run_last[-1] = True
+    out = ksc.seg_suffix_scan(
+        {"s": (jnp.asarray(vals), "sum"),
+         "mn": (jnp.asarray(vals), "min"),
+         "mx": (jnp.asarray(vals), "max")}, jnp.asarray(run_last))
+    s, mn, mx = (np.asarray(out[k]) for k in ("s", "mn", "mx"))
+    # reference: for each e, reduce until (and including) next run_last
+    ends = np.nonzero(run_last)[0]
+    for e in range(n):
+        end = ends[np.searchsorted(ends, e)]
+        seg = vals[e:end + 1]
+        assert s[e] == seg.sum(), e
+        assert mn[e] == seg.min(), e
+        assert mx[e] == seg.max(), e
+
+
 def test_xorshift_u64_parity():
     rng = np.random.default_rng(17)
     vals = rng.integers(0, 2**64, 256, dtype=np.uint64)
