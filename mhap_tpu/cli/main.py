@@ -386,7 +386,32 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
                 lines_count += write_lines(sorted(lines), out, paf)
                 offset += len(queries)
     out.flush()
-    print(f"Total matches found: {lines_count}", file=sys.stderr)
+    # final stats block (MhapMain.outputFinalStat :572-590)
+    if ov is not None:
+        st = ov.stats
+        n = len(getattr(ov, "_box_store", []) or []) or n_box
+        searched = max(st["sequences_searched"], 1)
+        hit = max(st["sequences_hit"], 1)
+        compared = max(st["sequences_fully_compared"], 1)
+        print(f"Total matches found: {st['matches_processed']}",
+              file=sys.stderr)
+        print("Average number of matches per lookup: "
+              f"{st['matches_processed'] / searched}", file=sys.stderr)
+        print("Average number of table elements processed per lookup: "
+              f"{st['elements_processed'] / searched}", file=sys.stderr)
+        print("Average % of hashed sequences hit per lookup: "
+              f"{st['sequences_hit'] / (max(n, 1) * searched) * 100.0}",
+              file=sys.stderr)
+        print("Average % of hashed sequences hit that are matches: "
+              f"{st['matches_processed'] / hit * 100.0}", file=sys.stderr)
+        print("Average % of hashed sequences fully compared that are "
+              f"matches: {st['matches_processed'] / compared * 100.0}",
+              file=sys.stderr)
+        if ov.slow_pair_count:
+            print(f"Exact-automaton fallback pairs: {ov.slow_pair_count}",
+                  file=sys.stderr)
+    else:
+        print(f"Total matches found: {lines_count}", file=sys.stderr)
 
 
 def run_precompute(o, cfg, kmer_filter, store_full_id, do_rc, backend):

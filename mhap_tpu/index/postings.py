@@ -1,0 +1,103 @@
+"""Device-side LSH index: sorted postings + searchsorted vote kernel.
+
+The TPU-native re-expression of MinHashSearch's 512 per-position hash
+tables (impl/MinHashSearch.java:85-147): for each sketch position the
+(value -> [sequence ids]) map becomes a value-sorted row of a dense
+[H, N] postings matrix; a query looks its value up with vectorized
+binary search and every posting in the matched span votes
+(MinHashSearch.java:161-181).
+
+Fixed-capacity discipline (SURVEY.md hard part #2): each (query,
+position) lookup materializes at most ``span_cap`` hits; spans larger
+than that (heavy repeat buckets) are counted in ``overflow`` so the
+caller can fall back to the exact host vote for affected queries.  Vote
+counting is a sort + run-length pass over the (query, candidate) hit
+keys -- no hash maps, no scatters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+def build_postings_device(minhash: np.ndarray):
+    """minhash: [N, H] int32 -> (values [H, N] int32 sorted per row,
+    sids [H, N] int32).  One lax.sort over the transposed sketch matrix.
+    """
+    mh = jnp.asarray(minhash).T  # [H, N]
+    H, N = mh.shape
+    sid = jnp.broadcast_to(jnp.arange(N, dtype=I32), (H, N))
+    vals, sids = jax.lax.sort((mh, sid), dimension=1, num_keys=1)
+    return vals, sids
+
+
+@partial(jax.jit, static_argnames=("span_cap", "top_k", "min_matches"))
+def vote_device(post_vals, post_sids, query_mh, *, span_cap: int = 16,
+                top_k: int = 64, min_matches: int = 3):
+    """Vote counting for a query batch.
+
+    post_vals/post_sids: [H, N]; query_mh: [Q, H] int32.
+    Returns dict:
+      cand     [Q, top_k] i32  candidate sketch rows (by descending votes)
+      votes    [Q, top_k] i32  vote counts (0 => empty slot)
+      overflow [Q] i32         hits dropped by span_cap (0 => exact)
+    """
+    H, N = post_vals.shape
+    Q = query_mh.shape[0]
+
+    # per (q, pos): locate the value span in the position's posting row
+    def row_lookup(vals_row, q_vals):
+        left = jnp.searchsorted(vals_row, q_vals, side="left")
+        right = jnp.searchsorted(vals_row, q_vals, side="right")
+        return left, right
+
+    left, right = jax.vmap(row_lookup, in_axes=(0, 1), out_axes=1)(
+        post_vals, query_mh)          # [Q, H]
+    cnt = right - left
+    overflow = jnp.sum(jnp.maximum(cnt - span_cap, 0), axis=1).astype(I32)
+
+    # expand spans to candidate ids: [Q, H, span_cap]
+    offs = jnp.arange(span_cap, dtype=I32)
+    idx = left[:, :, None] + offs[None, None, :]
+    hit_ok = offs[None, None, :] < jnp.minimum(cnt, span_cap)[:, :, None]
+    idx = jnp.clip(idx, 0, N - 1)
+    cand = jnp.take_along_axis(
+        jnp.broadcast_to(post_sids[None], (Q, H, N)), idx, axis=2)
+    cand = jnp.where(hit_ok, cand, N)  # N = sentinel (sorts last)
+
+    # vote counting: sort hits per query, run-length the candidate ids
+    flat = cand.reshape(Q, H * span_cap)
+    s = jnp.sort(flat, axis=1)
+    M = H * span_cap
+    new_run = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), s[:, 1:] != s[:, :-1]], axis=1) & (s < N)
+    # votes per run via position-difference of run starts
+    pos = jnp.arange(M, dtype=I32)
+    valid_total = jnp.sum(s < N, axis=1, keepdims=True)
+    # run length = next run start - this run start (scan-free: use the
+    # index of each run start and the following run start)
+    run_start_idx = jnp.where(new_run, pos[None, :], M)
+    # next run start for each element: suffix-min of run_start_idx shifted
+    nxt = jnp.concatenate(
+        [run_start_idx[:, 1:], jnp.full((Q, 1), M, I32)], axis=1)
+    d = 1
+    while d < M:
+        nxt = jnp.minimum(nxt, jnp.concatenate(
+            [nxt[:, d:], jnp.full((Q, d), M, I32)], axis=1))
+        d *= 2
+    run_len = jnp.where(new_run,
+                        jnp.minimum(nxt, valid_total) - pos[None, :], 0)
+    run_len = jnp.maximum(run_len, 0)
+
+    votes_all = jnp.where(new_run & (run_len >= min_matches), run_len, 0)
+    top_votes, top_idx = jax.lax.top_k(votes_all, top_k)
+    top_cand = jnp.take_along_axis(s, top_idx, axis=1)
+    top_cand = jnp.where(top_votes > 0, top_cand, -1)
+    return {"cand": top_cand, "votes": top_votes, "overflow": overflow}

@@ -117,6 +117,10 @@ class TpuOverlapper:
         self._score_slow = _kscorer.make_score_pairs(
             self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
         self.slow_pair_count = 0  # observability: automaton fallbacks
+        # search statistics (MinHashSearch.java:51-58 atomics equivalent)
+        self.stats = dict(matches_processed=0, sequences_searched=0,
+                          elements_processed=0, sequences_hit=0,
+                          sequences_fully_compared=0)
 
     # ---------------- sketching ----------------
 
@@ -445,6 +449,9 @@ class TpuOverlapper:
         if len(q_sel) == 0:
             return []
         q_idx, cand, votes = self.vote(postings, queries.minhash[q_sel])
+        self.stats["sequences_searched"] += len(q_sel)
+        self.stats["elements_processed"] += int(votes.sum())
+        self.stats["sequences_hit"] += len(q_idx)
         if len(q_idx) == 0:
             return []
         qg = q_sel[q_idx]  # global query row in `queries`
@@ -463,8 +470,10 @@ class TpuOverlapper:
         qg, cand = qg[keepm], cand[keepm]
         if len(qg) == 0:
             return []
+        self.stats["sequences_fully_compared"] += len(qg)
         score, raw, edges = self.score_pairs(queries, store, qg, cand)
         acc = score >= cfg["threshold"]
+        self.stats["matches_processed"] += int(acc.sum())
         return self._format(queries, store, qg[acc], cand[acc],
                             score[acc], raw[acc], edges[acc])
 
