@@ -75,9 +75,9 @@ def sort_and_count(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray):
     }
 
 
-@partial(jax.jit, static_argnames=("num_hashes", "w_max"))
+@partial(jax.jit, static_argnames=("num_hashes", "w_max", "unroll"))
 def weighted_min_reduce(hi, lo, weight, active, tiebreak, *,
-                        num_hashes: int, w_max: int):
+                        num_hashes: int, w_max: int, unroll: int = 4):
     """The xorshift min-reduction (MinHashSketch.java:134-153).
 
     hi, lo:    [B, n] uint32 -- k-mer identity hashes (any order; inactive
@@ -86,21 +86,31 @@ def weighted_min_reduce(hi, lo, weight, active, tiebreak, *,
     active:    [B, n] bool
     tiebreak:  [B, n] int32  -- first-occurrence position (tie resolution)
 
+    ``unroll`` sketch slots are processed per scan step (statically
+    unrolled) to amortize per-step dispatch latency -- the scan would
+    otherwise run num_hashes sequential [B, n]-wide steps.
+
     Returns int32 [B, num_hashes] sketch.
     """
     B, n = hi.shape
     x0 = (hi, lo)
     act_u = active
     w = jnp.where(active, weight, 0)
+    # keep the unrolled graph bounded: ~32 advances per scan step (compile
+    # time scales with the step body; remote compile makes this expensive)
+    unroll = min(unroll, max(1, 32 // max(w_max, 1)))
+    while num_hashes % unroll:
+        unroll //= 2
+    unroll = max(unroll, 1)
 
-    def step(x, _):
-        # window minimum over this slot's `weight` stream values per k-mer
+    def one_slot(x):
+        """Window minimum over one slot's `weight` stream values."""
         def advance(t, carry):
             xs, wm_hi, wm_lo = carry
             nxt = u64.xorshift(xs)
             adv = t < w
             xs = u64.select(adv, nxt, xs)
-            v_hi = nxt[0] ^ _SIGN  # signed 64-bit order == unsigned on flipped hi
+            v_hi = nxt[0] ^ _SIGN  # signed order == unsigned on flipped hi
             v_lo = nxt[1]
             less = (v_hi < wm_hi) | ((v_hi == wm_hi) & (v_lo < wm_lo))
             upd = adv & less
@@ -108,18 +118,16 @@ def weighted_min_reduce(hi, lo, weight, active, tiebreak, *,
             wm_lo = jnp.where(upd, v_lo, wm_lo)
             return xs, wm_hi, wm_lo
 
-        init = (x, jnp.full((B, n), _UMAX, U32), jnp.full((B, n), _UMAX, U32))
-        if w_max <= 4:  # unroll the common case
-            carry = init
+        carry = (x, jnp.full((B, n), _UMAX, U32), jnp.full((B, n), _UMAX, U32))
+        if w_max <= 16:
             for t in range(w_max):
                 carry = advance(t, carry)
-            xs, wm_hi, wm_lo = carry
         else:
-            xs, wm_hi, wm_lo = jax.lax.fori_loop(0, w_max, advance, init)
+            carry = jax.lax.fori_loop(0, w_max, advance, carry)
+        xs, wm_hi, wm_lo = carry
 
         wm_hi = jnp.where(act_u, wm_hi, _UMAX)
         wm_lo = jnp.where(act_u, wm_lo, _UMAX)
-
         # lexicographic argmin over k-mers: (value, tiebreak)
         m_hi = jnp.min(wm_hi, axis=1, keepdims=True)
         m1 = wm_hi == m_hi
@@ -127,15 +135,23 @@ def weighted_min_reduce(hi, lo, weight, active, tiebreak, *,
         m2 = m1 & (wm_lo == m_lo)
         widx = jnp.min(jnp.where(m2, tiebreak, _IMAX), axis=1, keepdims=True)
         sel = m2 & (tiebreak == widx)
-        # gather the winning k-mer's key halves
         key_lo = jnp.max(jnp.where(sel, lo, U32(0)), axis=1)
         key_hi = jnp.max(jnp.where(sel, hi, U32(0)), axis=1)
-        return xs, (key_hi, key_lo)
+        return xs, key_hi, key_lo
 
-    _, (keys_hi, keys_lo) = jax.lax.scan(step, x0, None, length=num_hashes)
-    # keys_*: [num_hashes, B] -> [B, num_hashes]
-    keys_hi = keys_hi.T
-    keys_lo = keys_lo.T
+    def step(x, _):
+        khs, kls = [], []
+        for _u in range(unroll):
+            x, kh, kl = one_slot(x)
+            khs.append(kh)
+            kls.append(kl)
+        return x, (jnp.stack(khs), jnp.stack(kls))
+
+    _, (keys_hi, keys_lo) = jax.lax.scan(
+        step, x0, None, length=num_hashes // unroll)
+    # keys_*: [steps, unroll, B] -> [B, num_hashes]
+    keys_hi = keys_hi.reshape(num_hashes, B).T
+    keys_lo = keys_lo.reshape(num_hashes, B).T
     parity = jnp.arange(num_hashes) % 2 == 0
     out = jnp.where(parity[None, :], keys_lo, keys_hi)
     return out.astype(I32)

@@ -114,9 +114,7 @@ class TpuOverlapper:
         self.kmer_filter = kmer_filter  # VectorFrequencyFilter or None
         self._score_fast = _kscorer.make_score_pairs_fast(
             self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
-        self._score_slow = _kscorer.make_score_pairs(
-            self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
-        self.slow_pair_count = 0  # observability: automaton fallbacks
+        self.slow_pair_count = 0  # observability: host-oracle fallbacks
         # search statistics (MinHashSearch.java:51-58 atomics equivalent)
         self.stats = dict(matches_processed=0, sequences_searched=0,
                           elements_processed=0, sequences_hit=0,
@@ -396,26 +394,25 @@ class TpuOverlapper:
                 slow_c.extend(cc[:e - s][ns])
 
         if slow_t:
+            # flagged lanes are rare (automaton corner cases); the host
+            # oracle scores them exactly in microseconds each, far cheaper
+            # than a latency-bound device while_loop relaunch
             self.slow_pair_count += len(slow_t)
-            sq = np.asarray(slow_q)
-            sc_ = np.asarray(slow_c)
-            st = np.asarray(slow_t)
-            s = 0
-            while s < len(st):
-                # flagged lanes are rare: pad to small power-of-2 buckets so
-                # the automaton chunk doesn't cost a full pair_chunk
-                rem = len(st) - s
-                B = 32
-                while B < rem and B < P:
-                    B *= 2
-                e = min(s + B, len(st))
-                pad = B - (e - s)
-                qq = np.concatenate([sq[s:e], np.repeat(sq[s:s + 1], pad)])
-                cc = np.concatenate([sc_[s:e], np.repeat(sc_[s:s + 1], pad)])
-                out = self._score_chunk(self._score_slow, qs, cs, qq, cc)
-                fill(st[s:e],
-                     {k: np.asarray(v)[:e - s] for k, v in out.items()})
-                s = e
+            from ..oracle import scorer as _osc
+
+            for t, qj, cj in zip(slow_t, slow_q, slow_c):
+                m1 = int(qs.ordered_m[qj])
+                m2 = int(cs.ordered_m[cj])
+                s1 = np.stack([qs.ordered_h[qj, :m1],
+                               qs.ordered_p[qj, :m1]], axis=1)
+                s2 = np.stack([cs.ordered_h[cj, :m2],
+                               cs.ordered_p[cj, :m2]], axis=1)
+                sc, rw, a1, a2, b1, b2 = _osc.get_overlap_info(
+                    s1, int(qs.num_kmers[qj]), s2, int(cs.num_kmers[cj]),
+                    k2, self.cfg["max_shift"])
+                score[t] = sc
+                raw[t] = rw
+                edges[t] = (a1, a2, b1, b2)
         return score, raw, edges
 
     # ---------------- match driving ----------------
