@@ -115,6 +115,7 @@ class TpuOverlapper:
         self._score_fast = _kscorer.make_score_pairs_fast(
             self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
         self.slow_pair_count = 0  # observability: host-oracle fallbacks
+        self._gather_score_cache: dict = {}
         # search statistics (MinHashSearch.java:51-58 atomics equivalent)
         self.stats = dict(matches_processed=0, sequences_searched=0,
                           elements_processed=0, sequences_hit=0,
@@ -220,7 +221,7 @@ class TpuOverlapper:
                 break
         s_hi = jnp.asarray((s_h >> np.uint64(32)).astype(np.uint32))
         s_lo = jnp.asarray((s_h & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-        mh = _minhash.weighted_min_reduce(
+        mh = _min_reduce(
             s_hi, s_lo, jnp.asarray(w.astype(np.int32)),
             jnp.asarray(active), jnp.asarray(order),
             num_hashes=H, w_max=w_max)
@@ -339,12 +340,44 @@ class TpuOverlapper:
 
     # ---------------- pair scoring ----------------
 
+    def _dev_store(self, store: SketchStore, quantum: int = 1024):
+        """Device-resident ordered-sketch columns, padded to a size quantum
+        (bounds jit variants); pushed once per store and cached on it."""
+        N = len(store)
+        N_pad = max(quantum, ((N + quantum - 1) // quantum) * quantum)
+        cached = getattr(store, "_dev_cache", None)
+        if cached is not None and cached[0] == N_pad:
+            return cached[1]
+
+        def pad(a, fill):
+            out = np.full((N_pad,) + a.shape[1:], fill, a.dtype)
+            out[:N] = a
+            return jnp.asarray(out)
+
+        dev = (pad(store.ordered_h, _kscorer.PAD_HASH),
+               pad(store.ordered_p, np.int32(0x7FFFFFFF)),
+               pad(store.ordered_m, 0), pad(store.num_kmers, 0))
+        store._dev_cache = (N_pad, dev)
+        return dev
+
     def _score_chunk(self, fn, qs, cs, qq, cc):
-        return fn(
-            jnp.asarray(qs.ordered_h[qq]), jnp.asarray(qs.ordered_p[qq]),
-            jnp.asarray(qs.ordered_m[qq]), jnp.asarray(qs.num_kmers[qq]),
-            jnp.asarray(cs.ordered_h[cc]), jnp.asarray(cs.ordered_p[cc]),
-            jnp.asarray(cs.ordered_m[cc]), jnp.asarray(cs.num_kmers[cc]))
+        """Gather+score fully on device: sketch columns live on device
+        (pushed once), only the pair index vectors cross the host link."""
+        q_dev = self._dev_store(qs)
+        c_dev = self._dev_store(cs) if cs is not qs else q_dev
+        key = (id(fn), q_dev[0].shape[0], c_dev[0].shape[0], len(qq))
+        gf = self._gather_score_cache.get(key)
+        if gf is None:
+            import jax
+
+            def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
+                return fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
+                          coh[ci], cop[ci], com[ci], cnk[ci])
+
+            gf = jax.jit(impl)
+            self._gather_score_cache[key] = gf
+        return gf(*q_dev, *c_dev, jnp.asarray(qq.astype(np.int32)),
+                  jnp.asarray(cc.astype(np.int32)))
 
     def score_pairs(self, qs: SketchStore, cs: SketchStore,
                     qi: np.ndarray, ci: np.ndarray):
@@ -497,6 +530,29 @@ class TpuOverlapper:
         return sorted(lines)
 
 
+import os
+
+# MHAP_TPU_MINHASH=pallas selects the VMEM-resident pallas kernel
+# (ops/minhash_pallas.py): it compiles ~50x faster than the XLA scan but
+# currently runs slower on v5e (lane-axis reductions in mosaic); the scan
+# is the default until its block layout is tuned.
+_MINHASH_IMPL = os.environ.get("MHAP_TPU_MINHASH", "scan")
+
+
+def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
+    """Backend dispatch for the min-reduction kernel."""
+    import jax
+
+    if (_MINHASH_IMPL == "pallas" and jax.default_backend() != "cpu"
+            and w_max <= 64 and num_hashes % 8 == 0):
+        from ..ops.minhash_pallas import weighted_min_reduce_pallas
+
+        return weighted_min_reduce_pallas(
+            hi, lo, w, active, tiebreak, num_hashes=num_hashes, w_max=w_max)
+    return _minhash.weighted_min_reduce(
+        hi, lo, w, active, tiebreak, num_hashes=num_hashes, w_max=w_max)
+
+
 # jitted helper: minhash + per-read max weight in one device call
 _MINHASH_CACHE: dict = {}
 
@@ -514,7 +570,7 @@ def _sketch_minhash_with_maxw(hi, lo, valid, num_hashes: int, w_cap: int):
             n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
             max_w = jnp.max(jnp.where(active, w, 0), axis=1)
             wc = jnp.minimum(w, w_cap)
-            sketch = _minhash.weighted_min_reduce(
+            sketch = _min_reduce(
                 g["hi"], g["lo"], wc, active, g["tiebreak"],
                 num_hashes=num_hashes, w_max=w_cap)
             return sketch, n_valid, max_w
