@@ -27,9 +27,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_READS = 256
+N_READS = 1024
 READ_LEN = 2900
-GENOME_LEN = 120_000
+GENOME_LEN = 480_000
 SEED = 4242
 ERR = 0.11
 
@@ -68,7 +68,7 @@ def make_reads(n_reads=N_READS, read_len=READ_LEN, genome_len=GENOME_LEN,
 def bench_device(reads):
     from mhap_tpu.pipeline.overlapper import TpuOverlapper
 
-    ov = TpuOverlapper(pair_chunk=1024)
+    ov = TpuOverlapper(pair_chunk=2048)
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
@@ -92,7 +92,8 @@ def main():
         # oracle proxy measured on a subset (O(N) sketch dominates; the
         # subset keeps this tractable on the 1-core box)
         n = 48
-        reads = make_reads(n_reads=n)
+        # same coverage as the device workload (genome scales with reads)
+        reads = make_reads(n_reads=n, genome_len=GENOME_LEN * n // N_READS)
         rps, n_lines = bench_oracle(reads)
         data = {"oracle_reads_per_s": rps, "n_reads": n,
                 "read_len": READ_LEN, "seed": SEED, "overlaps": n_lines,

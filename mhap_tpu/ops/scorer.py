@@ -636,6 +636,9 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u, cap: int):
     rc = rec_first.astype(I32) + rec_last.astype(I32)
     base = jnp.cumsum(rc) - rc
     cnt = jnp.sum(rc).astype(I32)
+    # record-capacity overflow (cap may be < 2S to shrink the shift/sort
+    # widths): flagged lanes re-run exactly on the host
+    needs_slow = needs_slow | (cnt > cap)
 
     p1b = jnp.full((cap,), _IMAX, I32)
     p2b = jnp.full((cap,), _IMAX, I32)

@@ -112,10 +112,15 @@ class TpuOverlapper:
         self.w_caps = tuple(w_caps)
         self.pair_chunk = pair_chunk
         self.kmer_filter = kmer_filter  # VectorFrequencyFilter or None
+        # record capacity 1024 < 2S: shrinks the shift-median/optimize sort
+        # widths; the rare overflowing lanes (near-duplicate reads) re-run
+        # exactly on the host oracle via needs_slow
         self._score_fast = _kscorer.make_score_pairs_fast(
-            self.cfg["max_shift"], self.cfg["ordered_sketch_size"])
+            self.cfg["max_shift"], self.cfg["ordered_sketch_size"],
+            cap=min(1024, 2 * self.cfg["ordered_sketch_size"]))
         self.slow_pair_count = 0  # observability: host-oracle fallbacks
         self._gather_score_cache: dict = {}
+        self.long_window = 1 << 17  # streaming window for very long reads
         # search statistics (MinHashSearch.java:51-58 atomics equivalent)
         self.stats = dict(matches_processed=0, sequences_searched=0,
                           elements_processed=0, sequences_hit=0,
@@ -227,6 +232,97 @@ class TpuOverlapper:
             num_hashes=H, w_max=w_max)
         return np.asarray(mh), nv > 0
 
+    # reads longer than this stream through the windowed sketcher instead
+    # of the dense length-bucketed batch (padding/bucket-explosion control;
+    # SURVEY.md section 5 "long-context" guidance)
+    LONG_READ_THRESHOLD = 1 << 17
+
+    def _sketch_long(self, codes: np.ndarray, window: int | None = None):
+        """Streaming sketch of one very long read: hash in overlapping
+        windows (bounded device memory), dedup/count on host, then one
+        single-row device min-reduce over the unique k-mers and a merged
+        bottom-k.  Bit-identical to the dense path (the weighted-MinHash
+        min and the bottom-k are mergeable across windows)."""
+        window = window or self.long_window
+        cfg = self.cfg
+        k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
+        H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+        L = len(codes)
+
+        # --- stage 1: windowed 128-bit hashing -> host u64 stream ---
+        h64_parts = []
+        for s in range(0, L - k1 + 1, window):
+            e = min(L, s + window + k1 - 1)
+            wlen = ((e - s + 255) // 256) * 256
+            buf = np.zeros((1, wlen), np.uint8)
+            buf[0, :e - s] = codes[s:e]
+            hi, lo = _murmur3.kmer_hashes_128(jnp.asarray(buf), k1, 0)
+            n_here = e - s - k1 + 1
+            h64 = (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | \
+                np.asarray(lo, dtype=np.uint64)
+            h64_parts.append(h64[0, :n_here])
+        h64 = np.concatenate(h64_parts)
+
+        if self.kmer_filter is not None:
+            keep = self.kmer_filter.keep_mask(h64)
+            h64_kept = h64[keep]
+        else:
+            h64_kept = h64
+        if len(h64_kept) == 0:
+            return None
+        keys, first_idx, counts = np.unique(
+            h64_kept, return_index=True, return_counts=True)
+        if self.kmer_filter is not None:
+            w = self.kmer_filter.weights(keys, counts, cfg["repeat_weight"])
+        else:
+            w = counts.astype(np.int64)
+        act = w > 0
+        if not act.any():
+            return None
+        # single padded row over the unique k-mers
+        U = len(keys)
+        U_pad = max(256, ((U + 255) // 256) * 256)
+        hi_r = np.zeros((1, U_pad), np.uint32)
+        lo_r = np.zeros((1, U_pad), np.uint32)
+        w_r = np.zeros((1, U_pad), np.int32)
+        tb_r = np.full((1, U_pad), np.int32(0x7FFFFFFF), np.int32)
+        act_r = np.zeros((1, U_pad), bool)
+        hi_r[0, :U] = (keys >> np.uint64(32)).astype(np.uint32)
+        lo_r[0, :U] = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        w_r[0, :U] = np.minimum(w, np.iinfo(np.int32).max)
+        tb_r[0, :U] = np.minimum(first_idx, np.iinfo(np.int32).max)
+        act_r[0, :U] = act
+        w_max = max(1, int(w[act].max()))
+        for capw in self.w_caps:
+            if w_max <= capw:
+                w_max = capw
+                break
+        mh = np.asarray(_min_reduce(
+            jnp.asarray(hi_r), jnp.asarray(lo_r), jnp.asarray(w_r),
+            jnp.asarray(act_r), jnp.asarray(tb_r),
+            num_hashes=H, w_max=w_max))[0]
+
+        # --- stage 2: windowed bottom-k, merged across windows ---
+        parts = []
+        for s in range(0, L - k2 + 1, window):
+            e = min(L, s + window + k2 - 1)
+            wlen = ((e - s + 255) // 256) * 256
+            buf = np.zeros((1, wlen), np.uint8)
+            buf[0, :e - s] = codes[s:e]
+            h32 = _murmur3.kmer_hashes_32(jnp.asarray(buf), k2, 0)
+            n_here = e - s - k2 + 1
+            valid = jnp.arange(h32.shape[1])[None, :] < n_here
+            oh, op, om = _bottomk.bottom_sketch(h32, valid, sketch_size=S)
+            m = int(np.asarray(om)[0])
+            part = np.stack([np.asarray(oh)[0, :m],
+                             np.asarray(op)[0, :m] + s], axis=1)
+            parts.append(part)
+        allp = np.concatenate(parts)
+        order = np.lexsort((allp[:, 1], allp[:, 0]))
+        m = min(S, L - k2 + 1)
+        merged = allp[order[:m]].astype(np.int32)
+        return mh, merged, L - k2 + 1
+
     def sketch_reads(self, reads: list[str], headers=None, offset: int = 0,
                      do_rc: bool = True) -> SketchStore:
         """Sketch fwd (+rev) of every read with the reference's skip rules
@@ -244,10 +340,14 @@ class TpuOverlapper:
             if do_rc:
                 entries.append((hid, False, hdr, _rc_codes(codes)))
 
-        # length-bucketed batches
+        # length-bucketed batches; very long reads stream separately
         by_bucket: dict[int, list[int]] = {}
+        long_idx: list[int] = []
         for j, e in enumerate(entries):
-            by_bucket.setdefault(_bucket_len(len(e[3])), []).append(j)
+            if len(e[3]) >= self.LONG_READ_THRESHOLD:
+                long_idx.append(j)
+            else:
+                by_bucket.setdefault(_bucket_len(len(e[3])), []).append(j)
 
         N = len(entries)
         H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
@@ -258,22 +358,39 @@ class TpuOverlapper:
         ordered_m = np.zeros(N, np.int32)
         num_kmers = np.zeros(N, np.int32)
 
+        ROWS = 256  # fixed row-tile: bounds jit variants to (bucket_len,)
         for blen, idxs in sorted(by_bucket.items()):
-            B = len(idxs)
-            codes = np.zeros((B, blen), np.uint8)
-            lens = np.zeros(B, np.int32)
-            for r, j in enumerate(idxs):
-                c = entries[j][3]
-                codes[r, :len(c)] = c
-                lens[r] = len(c)
-            mh, mhv, oh, op, om, nk = self._sketch_batch(codes, lens)
-            ii = np.asarray(idxs)
-            minhash[ii] = mh
-            mh_valid[ii] = mhv
-            ordered_h[ii] = oh
-            ordered_p[ii] = op
-            ordered_m[ii] = om
-            num_kmers[ii] = nk
+            for s in range(0, len(idxs), ROWS):
+                chunk = idxs[s:s + ROWS]
+                B = ROWS if len(idxs) > ROWS else len(chunk)
+                codes = np.zeros((B, blen), np.uint8)
+                lens = np.zeros(B, np.int32)
+                for r, j in enumerate(chunk):
+                    c = entries[j][3]
+                    codes[r, :len(c)] = c
+                    lens[r] = len(c)
+                mh, mhv, oh, op, om, nk = self._sketch_batch(codes, lens)
+                ii = np.asarray(chunk)
+                m = len(chunk)
+                minhash[ii] = mh[:m]
+                mh_valid[ii] = mhv[:m]
+                ordered_h[ii] = oh[:m]
+                ordered_p[ii] = op[:m]
+                ordered_m[ii] = om[:m]
+                num_kmers[ii] = nk[:m]
+
+        for j in long_idx:
+            res = self._sketch_long(entries[j][3])
+            if res is not None:
+                mh, merged, nk = res
+                minhash[j] = mh
+                mh_valid[j] = True
+                ordered_h[j, :len(merged)] = merged[:, 0]
+                ordered_p[j, :len(merged)] = merged[:, 1]
+                ordered_h[j, len(merged):] = np.int32(0x7FFFFFFF)
+                ordered_p[j, len(merged):] = np.int32(0x7FFFFFFF)
+                ordered_m[j] = len(merged)
+                num_kmers[j] = nk
 
         # zero-ngram skip rules: fwd fails -> drop the read entirely;
         # rev fails -> keep fwd only (enqueue() + enqueueUntilFound()).
