@@ -16,6 +16,8 @@ from __future__ import annotations
 import re
 import sys
 import time
+
+import numpy as np
 from dataclasses import dataclass, field
 
 from ..utils.intervals import IntervalIndex, range_overlap
@@ -334,8 +336,14 @@ class EstimateROC:
                 if other not in matches:
                     self.tn += 1
 
-    def estimate_ppv(self) -> None:
+    def estimate_ppv(self, batch_dp: bool = False) -> None:
+        """PPV sampling.  batch_dp=True defers disputed pairs and
+        adjudicates them with the batched on-device Smith-Waterman kernel
+        (ops/swalign.py) instead of per-pair host calls -- the TPU-native
+        form of the reference's parallel-stream JNI alignment
+        (EstimateROC.java:746-800)."""
         num_tp = 0
+        disputed: list[tuple[str, str]] = []
         for _ in range(self.num_trials):
             ovl_len = 0
             name = None
@@ -348,9 +356,51 @@ class EstimateROC:
             matches = self._get_sequence_matches(id1, 0)
             if matches is not None and id2 in matches:
                 num_tp += 1
+            elif self.do_dp and batch_dp:
+                disputed.append((id1, id2))
             elif self._compute_dp(id1, id2):
                 num_tp += 1
+        if disputed:
+            num_tp += int(np.sum(self._compute_dp_batch(disputed)))
         self.ppv = num_tp / self.num_trials
+
+    def _compute_dp_batch(self, pairs: list) -> "np.ndarray":
+        """Batched device SW adjudication of disputed pairs."""
+        from ..oracle.seq import reverse_complement
+        from ..ops.swalign import sw_align_batch
+
+        s1s, s2s, ovl_lens = [], [], []
+        for id1, id2 in pairs:
+            ovl = self.ovl_info[self._ovl_name(id1, id2)]
+            s1 = self.data_seq[int(ovl.id1) - 1][ovl.afirst:ovl.asecond]
+            s2 = self.data_seq[int(ovl.id2) - 1][ovl.bfirst:ovl.bsecond]
+            if not ovl.is_fwd:
+                s2 = reverse_complement(s2)
+            s1s.append(s1.encode())
+            s2s.append(s2.encode())
+            ovl_lens.append(min(len(s1), len(s2)))
+        n = max((len(s) for s in s1s), default=1)
+        m = max((len(s) for s in s2s), default=1)
+        P = len(pairs)
+        q = np.zeros((P, n), np.uint8)
+        r = np.zeros((P, m), np.uint8)
+        ql = np.zeros(P, np.int32)
+        rl = np.zeros(P, np.int32)
+        for i, (a, b) in enumerate(zip(s1s, s2s)):
+            q[i, :len(a)] = np.frombuffer(a, np.uint8)
+            r[i, :len(b)] = np.frombuffer(b, np.uint8)
+            ql[i], rl[i] = len(a), len(b)
+        out = {k: np.asarray(v) for k, v in
+               sw_align_batch(q, ql, r, rl, match=2, mismatch=-2,
+                              gap_open=2, gap_extend=1).items()}
+        length = np.maximum(out["q_end"] - out["q_begin"],
+                            out["r_end"] - out["r_begin"])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = 1.0 - out["errors"] / np.maximum(out["length"], 1)
+        ovl_lens = np.maximum(np.asarray(ovl_lens), 1)
+        return ((score > self.min_alignment_identity)
+                & (length > self.min_ovl_len)
+                & (1 - length / ovl_lens < self.min_overlap_difference))
 
     def full_estimate(self) -> None:
         """Exhaustive O(N^2) mode (fullEstimate :886-914)."""

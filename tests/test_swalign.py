@@ -64,6 +64,9 @@ def test_sw_batch_vs_native():
         assert out["score"][i] == want["score"], f"pair {i} score"
         assert out["q_end"][i] == want["q_end"], f"pair {i} q_end"
         assert out["r_end"][i] == want["r_end"], f"pair {i} r_end"
+        # begins can differ only between co-optimal paths; allow slack
+        assert abs(out["q_begin"][i] - want["q_begin"]) <= 2, f"pair {i}"
+        assert abs(out["r_begin"][i] - want["r_begin"]) <= 2, f"pair {i}"
         # identity from carried stats: equal on the traceback tie-rule,
         # tolerance for co-optimal paths
         got_id = 1 - out["errors"][i] / max(out["length"][i], 1)

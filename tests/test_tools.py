@@ -200,3 +200,22 @@ def test_get_histogram_stats(tmp_path):
     # cumulative weighted percent: sum=20; 1*4=4 (0.2), +2*3=10 (0.5), +10=20
     assert s.cut == 10
     assert "%.4f" % s.mean in str(s)
+
+
+def test_estimate_roc_batched_device_dp(roc_setup):
+    """Batched on-device SW adjudication agrees with the per-pair native
+    path on the PPV estimate."""
+    truth, ovl, fasta, reads, places = roc_setup
+    a = EstimateROC(min_ovl_len=1500, num_trials=60, do_dp=True)
+    a.process_reference(truth)
+    a.load_fasta(fasta)
+    a.process_overlaps(ovl)
+    a.estimate_ppv(batch_dp=False)
+    b = EstimateROC(min_ovl_len=1500, num_trials=60, do_dp=True)
+    b.process_reference(truth)
+    b.load_fasta(fasta)
+    b.process_overlaps(ovl)
+    b.estimate_ppv(batch_dp=True)
+    # same RNG stream -> same trial pairs; adjudication may differ only on
+    # co-optimal alignment paths
+    assert abs(a.ppv - b.ppv) <= 0.05
