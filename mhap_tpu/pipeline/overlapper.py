@@ -26,7 +26,9 @@ reads, so the base cap almost always holds).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,6 +103,40 @@ class SketchStore:
         return SketchStore(headers=headers, **cols)
 
 
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
+def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap):
+    """Whole sketch chunk in one compiled program (hash128 -> weighted
+    min-reduce; hash32 -> bottom-k)."""
+    n1 = seq.shape[1] - k1 + 1
+    valid1 = jnp.arange(n1)[None, :] < (lens[:, None] - k1 + 1)
+    hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
+    g = _minhash.sort_and_count(hi, lo, valid1)
+    w = jnp.where(g["first"], g["count"], 0)
+    active = g["first"] & (w > 0)
+    n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
+    max_w = jnp.max(jnp.where(active, w, 0), axis=1)
+    sketch = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
+                         g["tiebreak"], num_hashes=H, w_max=w_cap)
+    n2 = seq.shape[1] - k2 + 1
+    valid2 = jnp.arange(n2)[None, :] < (lens[:, None] - k2 + 1)
+    h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
+    oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
+    return sketch, n_valid, max_w, oh, op, om
+
+
+@partial(jax.jit, static_argnames=("k1",))
+def _sketch_hash128_jit(seq, k1):
+    return _murmur3.kmer_hashes_128(seq, k1, 0)
+
+
+@partial(jax.jit, static_argnames=("k2", "S"))
+def _sketch_bottom_jit(seq, lens, k2, S):
+    n2 = seq.shape[1] - k2 + 1
+    valid2 = jnp.arange(n2)[None, :] < (lens[:, None] - k2 + 1)
+    h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
+    return _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
+
+
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
@@ -130,53 +166,47 @@ class TpuOverlapper:
 
     def _sketch_batch(self, codes: np.ndarray, lens: np.ndarray):
         """codes: [B, L] uint8 (padded). Returns host numpy arrays
-        (minhash [B,H], mh_valid [B] bool, oh, op, om, num_kmers)."""
+        (minhash [B,H], mh_valid [B] bool, oh, op, om, num_kmers).
+
+        The whole device computation (hashing + min-reduce + bottom-k) is
+        ONE jit call per chunk: eager jnp ops would each round-trip
+        through the remote-device tunnel."""
         cfg = self.cfg
         k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
         H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
-        B, L = codes.shape
-        seq = jnp.asarray(codes)
-        lens_j = jnp.asarray(lens)
-
-        n1 = L - k1 + 1
-        valid1 = jnp.arange(n1)[None, :] < (lens_j[:, None] - k1 + 1)
-        hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
 
         if self.kmer_filter is not None:
-            mh, mh_valid = self._minhash_filtered(hi, lo, np.asarray(
-                jnp.arange(n1)[None, :] < (lens_j[:, None] - k1 + 1)))
+            seq = jnp.asarray(codes)
+            lens_j = jnp.asarray(lens)
+            n1 = codes.shape[1] - k1 + 1
+            valid1 = jnp.arange(n1)[None, :] < (lens_j[:, None] - k1 + 1)
+            hi, lo = _sketch_hash128_jit(seq, k1)
+            mh, mh_valid = self._minhash_filtered(hi, lo, np.asarray(valid1))
+            h32_out = _sketch_bottom_jit(seq, lens_j, k2, S)
+            oh, op, om = h32_out
         else:
-            mh, mh_valid = self._minhash_unfiltered(hi, lo, valid1, H)
-
-        n2 = L - k2 + 1
-        valid2 = jnp.arange(n2)[None, :] < (lens_j[:, None] - k2 + 1)
-        h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
-        oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
-        num_kmers = np.maximum(lens - k2 + 1, 0).astype(np.int32)
-        return mh, mh_valid, np.asarray(oh), np.asarray(op), np.asarray(om), num_kmers
-
-    def _minhash_unfiltered(self, hi, lo, valid1, H):
-        """tf-mode sketch (no filter file): weights = occurrence counts,
-        computed fully on device with weight-cap escalation."""
-        mh = None
-        for cap in self.w_caps:
-            sketch, n_valid, max_w = _sketch_minhash_with_maxw(
-                hi, lo, valid1, H, cap)
-            if mh is None:
-                mh, nv = np.array(sketch), np.asarray(n_valid)
-                maxw_np = np.asarray(max_w)
-                redo = maxw_np > cap
-            else:
-                upd = redo
-                mh[upd] = np.asarray(sketch)[upd]
-                redo = redo & (maxw_np > cap)
-            if not redo.any():
-                break
-        else:
+            out = _sketch_fused_jit(jnp.asarray(codes), jnp.asarray(lens),
+                                    k1, k2, H, S, self.w_caps[0])
+            sketch, n_valid, max_w, oh, op, om = out
+            mh = np.array(sketch)
+            nv = np.asarray(n_valid)
+            maxw = np.asarray(max_w)
+            redo = maxw > self.w_caps[0]
+            for cap in self.w_caps[1:]:
+                if not redo.any():
+                    break
+                out2 = _sketch_fused_jit(jnp.asarray(codes),
+                                         jnp.asarray(lens),
+                                         k1, k2, H, S, cap)
+                mh[redo] = np.asarray(out2[0])[redo]
+                redo = redo & (maxw > cap)
             if redo.any():
                 raise RuntimeError(
                     f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
-        return mh, nv > 0
+            mh_valid = nv > 0
+        num_kmers = np.maximum(lens - k2 + 1, 0).astype(np.int32)
+        return (mh, mh_valid, np.asarray(oh), np.asarray(op),
+                np.asarray(om), num_kmers)
 
     def _minhash_filtered(self, hi, lo, window_valid):
         """Filtered sketch: device hashing, vectorized host keepKmer +
@@ -256,7 +286,7 @@ class TpuOverlapper:
             wlen = ((e - s + 255) // 256) * 256
             buf = np.zeros((1, wlen), np.uint8)
             buf[0, :e - s] = codes[s:e]
-            hi, lo = _murmur3.kmer_hashes_128(jnp.asarray(buf), k1, 0)
+            hi, lo = _sketch_hash128_jit(jnp.asarray(buf), k1)
             n_here = e - s - k1 + 1
             h64 = (np.asarray(hi, dtype=np.uint64) << np.uint64(32)) | \
                 np.asarray(lo, dtype=np.uint64)
@@ -309,10 +339,10 @@ class TpuOverlapper:
             wlen = ((e - s + 255) // 256) * 256
             buf = np.zeros((1, wlen), np.uint8)
             buf[0, :e - s] = codes[s:e]
-            h32 = _murmur3.kmer_hashes_32(jnp.asarray(buf), k2, 0)
             n_here = e - s - k2 + 1
-            valid = jnp.arange(h32.shape[1])[None, :] < n_here
-            oh, op, om = _bottomk.bottom_sketch(h32, valid, sketch_size=S)
+            oh, op, om = _sketch_bottom_jit(
+                jnp.asarray(buf), jnp.asarray([n_here + k2 - 1], np.int32),
+                k2, S)
             m = int(np.asarray(om)[0])
             part = np.stack([np.asarray(oh)[0, :m],
                              np.asarray(op)[0, :m] + s], axis=1)
