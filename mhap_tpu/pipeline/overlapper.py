@@ -140,7 +140,7 @@ def _sketch_bottom_jit(seq, lens, k2, S):
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
-    def __init__(self, cfg=None, w_caps=(8, 64, 512), pair_chunk: int = 512,
+    def __init__(self, cfg=None, w_caps=(4, 16, 128, 512), pair_chunk: int = 512,
                  kmer_filter=None):
         self.cfg = dict(DEFAULTS)
         if cfg:

@@ -4,7 +4,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench as B
 reads = B.make_reads()
 from mhap_tpu.pipeline.overlapper import TpuOverlapper
-ov = TpuOverlapper(pair_chunk=1024)
+ov = TpuOverlapper(pair_chunk=2048)
 ov.overlap_self(reads)  # warmup/compile
 t0=time.perf_counter()
 store = ov.sketch_reads(reads)
