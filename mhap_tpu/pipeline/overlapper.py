@@ -157,6 +157,10 @@ class TpuOverlapper:
         self.slow_pair_count = 0  # observability: host-oracle fallbacks
         self._gather_score_cache: dict = {}
         self.long_window = 1 << 17  # streaming window for very long reads
+        # device_vote: run the LSH vote with the on-device postings kernel
+        # (index/postings.py); any span-cap overflow falls back to the
+        # exact host vote for the whole query batch
+        self.device_vote = False
         # search statistics (MinHashSearch.java:51-58 atomics equivalent)
         self.stats = dict(matches_processed=0, sequences_searched=0,
                           elements_processed=0, sequences_hit=0,
@@ -485,6 +489,31 @@ class TpuOverlapper:
         upair, votes = np.unique(pair, return_counts=True)
         return upair >> 32, upair & 0xFFFFFFFF, votes
 
+    def _vote_dispatch(self, store, postings, query_mh):
+        """Host numpy vote by default; optional device postings kernel
+        (exact host fallback when any span overflows)."""
+        if not self.device_vote:
+            return self.vote(postings, query_mh)
+        from ..index.postings import build_postings_device, vote_device
+
+        dev = getattr(store, "_dev_postings", None)
+        if dev is None:
+            dev = build_postings_device(store.minhash)
+            store._dev_postings = dev
+        K = min(256, len(store))
+        out = vote_device(dev[0], dev[1], query_mh, span_cap=32, top_k=K,
+                          min_matches=self.cfg["num_min_matches"])
+        votes = np.asarray(out["votes"])
+        # exactness guards: span-cap overflow, or a full candidate list
+        # (possible truncation of equally-voted candidates)
+        if int(np.asarray(out["overflow"]).max()) > 0 or \
+                (K < len(store) and (votes[:, -1] > 0).any()):
+            return self.vote(postings, query_mh)
+        cand = np.asarray(out["cand"])
+        rows, cols = np.nonzero(votes > 0)
+        return rows.astype(np.int64), cand[rows, cols].astype(np.int64), \
+            votes[rows, cols].astype(np.int64)
+
     # ---------------- pair scoring ----------------
 
     def _dev_store(self, store: SketchStore, quantum: int = 1024):
@@ -625,7 +654,8 @@ class TpuOverlapper:
         cfg = self.cfg
         if len(q_sel) == 0:
             return []
-        q_idx, cand, votes = self.vote(postings, queries.minhash[q_sel])
+        q_idx, cand, votes = self._vote_dispatch(store, postings,
+                                                 queries.minhash[q_sel])
         self.stats["sequences_searched"] += len(q_sel)
         self.stats["elements_processed"] += int(votes.sum())
         self.stats["sequences_hit"] += len(q_idx)

@@ -48,3 +48,17 @@ def test_vote_device_overflow_detection(store):
     # every query hits its own postings (self-votes), spans of >=2 exist
     # for overlapping reads -> overflow must trigger somewhere
     assert out["overflow"].sum() > 0
+
+
+def test_pipeline_device_vote_parity(synthetic_reads):
+    """Pipeline with device_vote=True emits the same line set."""
+    from mhap_tpu.oracle import pipeline as op
+
+    genome, reads, positions = synthetic_reads
+    sub = [r[:1500] for r in reads[:10]]
+    cfg = dict(num_hashes=64, ordered_sketch_size=256, num_min_matches=2)
+    want = op.overlap_self(sub, cfg)
+    ov = TpuOverlapper(cfg)
+    ov.device_vote = True
+    got = ov.overlap_self(sub)
+    assert got == want
