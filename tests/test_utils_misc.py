@@ -80,3 +80,24 @@ def test_m4_to_paf_fwd_and_rc():
     paf = m4_to_paf(m4).split("\t")
     assert paf[4] == "-"
     assert paf[7] == str(3050 - 2995 - 1) and paf[8] == str(3050 - 5 - 1)
+
+
+def test_seqstats_protein_and_stats():
+    from mhap_tpu.utils.seqstats import (convert_to_fasta, linear_regression,
+                                         mean, pearson_corr, std, to_protein)
+
+    # ATG GCC TAA -> M A (the reference loop stops 3 bases early, so the
+    # final TAA codon is NOT translated)
+    assert to_protein("ATGGCCTAAG") == "MA"
+    assert to_protein("ATGGCC") == "M"
+    # reverse frame: rc("CAT") = "ATG"
+    assert to_protein("GGCCATGGCC", is_reversed=True)[0:1] in ("G", "M", "A")
+    assert convert_to_fasta("A" * 25, width=10) == "A" * 10 + "\n" + \
+        "A" * 10 + "\n" + "A" * 5
+    a = [1, 2, 3, 4]
+    b = [2, 4, 6, 8]
+    assert mean(a) == 2.5
+    assert std(a) == pytest.approx(np.std(a))
+    assert pearson_corr(a, b) == pytest.approx(1.0)
+    alpha, beta = linear_regression(a, b)
+    assert alpha == pytest.approx(0.0) and beta == pytest.approx(2.0)
