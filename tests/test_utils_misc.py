@@ -86,10 +86,10 @@ def test_seqstats_protein_and_stats():
     from mhap_tpu.utils.seqstats import (convert_to_fasta, linear_regression,
                                          mean, pearson_corr, std, to_protein)
 
-    # ATG GCC TAA -> M A (the reference loop stops 3 bases early, so the
-    # final TAA codon is NOT translated)
-    assert to_protein("ATGGCCTAAG") == "MA"
-    assert to_protein("ATGGCC") == "M"
+    # stops translate to 'X'; the reference loop bound (i < len-3) trims
+    # a codon that ends exactly at the sequence end
+    assert to_protein("ATGGCCTAAG") == "MAX"
+    assert to_protein("ATGGCC") == "M"  # the GCC codon is trimmed
     # reverse frame: rc("CAT") = "ATG"
     assert to_protein("GGCCATGGCC", is_reversed=True)[0:1] in ("G", "M", "A")
     assert convert_to_fasta("A" * 25, width=10) == "A" * 10 + "\n" + \
