@@ -351,9 +351,14 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
         if q_file:
             for qf in list_sequence_files(q_file):
                 t0 = time.time()
-                qh, qreads = _load_reads(qf, store_full_id)
-                queries = ov.sketch_reads(qreads, qh, offset=offset,
-                                          do_rc=False)
+                if qf.endswith(".dat"):
+                    queries = datstore.read_dat(
+                        qf, offset, fwd_only=True,
+                        sketch_size=cfg["ordered_sketch_size"])
+                else:
+                    qh, qreads = _load_reads(qf, store_full_id)
+                    queries = ov.sketch_reads(qreads, qh, offset=offset,
+                                              do_rc=False)
                 q_sel = np.arange(len(queries))
                 lines = sorted(ov._find_matches(box, postings, queries,
                                                 q_sel, False))

@@ -42,11 +42,12 @@ def is_sequence_file(name: str) -> bool:
 
 
 def list_sequence_files(path: str) -> list[str]:
-    """File or directory -> sorted sequence file list (MhapMain.java:386-400)."""
+    """File or directory -> sorted file list.  Matches the reference's
+    directory semantics: ALL non-hidden files, alphabetically
+    (MhapMain.java:386-400, :498-510 -- including .dat sketch files)."""
     if os.path.isdir(path):
-        out = [os.path.join(path, f) for f in sorted(os.listdir(path))
-               if is_sequence_file(f)]
-        return out
+        return [os.path.join(path, f) for f in sorted(os.listdir(path))
+                if not f.startswith(".")]
     return [path]
 
 

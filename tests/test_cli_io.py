@@ -172,3 +172,32 @@ def test_fasta_suffix_whitelist(tmp_path):
     for name, ok in [("a.fa", True), ("a.fasta.gz", True), ("a.fna", True),
                      ("a.fastq", True), ("a.txt", False), ("a.dat", False)]:
         assert fasta.is_sequence_file(name) == ok, name
+
+
+def test_cli_dat_query_file(synthetic_reads, tmp_path, capsys):
+    """-q can point at precomputed .dat sketches (reference
+    getSequenceHashStreamer handles .dat for both -s and -q)."""
+    genome, reads, positions = synthetic_reads
+    box, queries = reads[:8], reads[8:12]
+    fa_dir = tmp_path / "qf"
+    dat_dir = tmp_path / "qd"
+    fa_dir.mkdir()
+    dat_dir.mkdir()
+    write_fasta(tmp_path / "box.fa", box)
+    write_fasta(fa_dir / "queries.fa", queries)
+    # precompute query sketches to .dat
+    run_cli(["-p", str(fa_dir), "-q", str(dat_dir)] + CFG_FLAGS, capsys)
+    got = sorted(run_cli(["-s", str(tmp_path / "box.fa"),
+                          "-q", str(dat_dir / "queries.dat")] + CFG_FLAGS,
+                         capsys))
+    # reference semantics: .dat sketches carry their header STRINGS from
+    # write time (SequenceSketch.fromByteStream reads the stored UTF
+    # header; MatchResult displays getHeader()), so queries print their
+    # original -p-time ids (1..4), not offset ones
+    want = []
+    for l in op.overlap_query(box, queries, CFG):
+        p = l.split()
+        if int(p[0]) > len(box):
+            p[0] = str(int(p[0]) - len(box))
+        want.append(" ".join(p))
+    assert got == sorted(want)
