@@ -87,18 +87,48 @@ def bench_oracle(reads):
     return len(reads) / dt, len(lines)
 
 
+def bench_native(reads, threads=None):
+    """Time the native multithreaded CPU pipeline (the Java-reference
+    stand-in: same algorithm + data structures as the reference, compiled,
+    all host cores; parity-tested in tests/test_native_cpu.py)."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    binary = os.path.join(repo, "native", "build", "mhap_cpu")
+    if not os.path.exists(binary):
+        subprocess.run(["make", "-C", os.path.join(repo, "native")],
+                       check=True, capture_output=True)
+    threads = threads or os.cpu_count()
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        for i, r in enumerate(reads):
+            f.write(f">r{i}\n{r}\n")
+        path = f.name
+    try:
+        t0 = time.perf_counter()
+        out = subprocess.run(
+            [binary, "-s", path, "--num-threads", str(threads)],
+            capture_output=True, text=True, check=True)
+        dt = time.perf_counter() - t0
+    finally:
+        os.unlink(path)
+    return len(reads) / dt, len(out.stdout.strip().splitlines()), threads
+
+
 def main():
     if "--make-baseline" in sys.argv:
-        # oracle proxy measured on a subset (O(N) sketch dominates; the
-        # subset keeps this tractable on the 1-core box)
-        n = 48
-        # same coverage as the device workload (genome scales with reads)
-        reads = make_reads(n_reads=n, genome_len=GENOME_LEN * n // N_READS)
-        rps, n_lines = bench_oracle(reads)
-        data = {"oracle_reads_per_s": rps, "n_reads": n,
+        # the baseline is the native CPU pipeline at the SAME problem size
+        # as the device run (reads/s is not size-invariant: candidate work
+        # grows with coverage)
+        reads = make_reads()
+        rps, n_lines, threads = bench_native(reads)
+        data = {"native_reads_per_s": rps, "n_reads": len(reads),
                 "read_len": READ_LEN, "seed": SEED, "overlaps": n_lines,
-                "note": "bit-exact CPU oracle pipeline; stand-in for the "
-                        "Java reference (no JVM in image)"}
+                "threads": threads,
+                "note": "native/mhap_cpu.cc: multithreaded C++ port of the "
+                        "reference pipeline on all host cores (no JVM in "
+                        "image; same algorithm + data structures as the "
+                        "Java, parity-tested vs oracle + device)"}
         with open(_BASELINE_PATH, "w") as f:
             json.dump(data, f, indent=1)
         print(json.dumps(data))
@@ -109,7 +139,7 @@ def main():
     base = None
     if os.path.exists(_BASELINE_PATH):
         with open(_BASELINE_PATH) as f:
-            base = json.load(f).get("oracle_reads_per_s")
+            base = json.load(f).get("native_reads_per_s")
     vs = rps / base if base else None
     print(json.dumps({
         "metric": "reads_overlapped_per_s_per_chip",
@@ -119,7 +149,8 @@ def main():
         "detail": {"n_reads": len(reads), "read_len": READ_LEN,
                    "overlaps": n_overlaps, "warm_s": round(warm, 2),
                    "steady_s": round(steady, 2),
-                   "baseline": "CPU oracle pipeline (Java-ref stand-in)"},
+                   "baseline": "native C++ reference port, all host cores "
+                               "(see bench_baseline.json)"},
     }))
 
 

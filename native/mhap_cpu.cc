@@ -1,0 +1,587 @@
+// Multithreaded CPU implementation of the MHAP overlap pipeline.
+//
+// Purpose (two-fold):
+//  1. The honest performance baseline for bench.py: the reference is a
+//     multithreaded Java program (impl/AbstractMatchSearch.java:121-199
+//     work-stealing over Runtime.availableProcessors() threads); no JVM
+//     exists in this image, so this binary is the closest stand-in -- the
+//     same algorithm, same data structures (per-position hash tables,
+//     per-query vote maps, sequential merge-automaton scorer), compiled
+//     native code, all host cores.
+//  2. An independently written differential implementation: this file was
+//     produced from the Java sources (file:line cites below), NOT from the
+//     Python oracle, so agreement of {this binary} == {oracle} == {device
+//     pipeline} on the same input is evidence each was derived correctly.
+//
+// Parity targets:
+//   sketch/MinHashSketch.java:51-179      (weighted minhash, xorshift)
+//   sketch/BottomOverlapSketch.java       (bottom-k sketch + 2-pass scorer)
+//   impl/MinHashSearch.java:100-251       (LSH index, vote, suppression)
+//   impl/SequenceSketchStreamer.java      (fwd/rev enqueue + skip rules)
+//   impl/MatchResult.java                 (coordinate flips + formatting)
+//
+// Build: make -C native   (links murmur3.c)
+// Usage: mhap_cpu -s reads.fa [--num-threads N] [flag overrides] > out.m4
+
+#include <algorithm>
+#include <atomic>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+void mhap_kmer_hashes_128(const uint8_t *seq, int len, int k, uint32_t seed,
+                          uint64_t *out_h1);
+void mhap_kmer_hashes_32(const uint8_t *seq, int len, int k, uint32_t seed,
+                         uint32_t *out);
+}
+
+namespace {
+
+struct Params {
+  int kmer_size = 16;
+  int num_hashes = 512;
+  int num_min_matches = 3;
+  double threshold = 0.78;
+  int ordered_kmer_size = 12;
+  int ordered_sketch_size = 1536;
+  double max_shift = 0.2;
+  int min_store_length = 0;
+  int min_olap_length = 116;
+  double repeat_weight = 0.9;  // no filter-file support: tf weighting
+  int num_threads = (int)std::thread::hardware_concurrency();
+};
+
+// One oriented read's sketch bundle (impl/SequenceSketch.java:51-55).
+struct Sketch {
+  int64_t hid = 0;
+  bool fwd = true;
+  int32_t length = 0;
+  int32_t num_kmers = 0;               // seqLen - orderedK + 1
+  std::vector<int32_t> minhash;        // [H]
+  std::vector<int32_t> oh, op;         // ordered (hash, pos), sorted by hash
+  bool valid = false;                  // false => zero n-grams
+};
+
+// ---------------- sequence utilities ----------------
+
+std::string reverse_complement(const std::string &s) {
+  static uint8_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (int i = 0; i < 256; i++) table[i] = (uint8_t)i;
+    const char *a = "ACMRWSVHNTGKYWSBDN";
+    const char *b = "TGKYWSBDNACMRWSVHN";
+    for (int i = 0; a[i]; i++) table[(uint8_t)a[i]] = (uint8_t)b[i];
+    init = true;
+  }
+  std::string out(s.rbegin(), s.rend());
+  for (auto &c : out) c = (char)table[(uint8_t)c];
+  return out;
+}
+
+// ---------------- sketch construction ----------------
+
+// Weighted minhash (MinHashSketch.java:51-179): per-kmer occurrence counts
+// in first-occurrence order, weight = count (tf mode, the default when no
+// filter file is given) or 1 (legacy repeatWeight<0), then per unique kmer
+// one continuous xorshift stream consumed `weight` steps per hash word with
+// signed-64 strict-less min; stored value is the winning kmer's low/high
+// 32 bits by word parity.
+bool weighted_minhash(const uint64_t *hashes, int n, const Params &P,
+                      std::vector<int32_t> *out) {
+  std::unordered_map<uint64_t, int32_t> index;
+  index.reserve((size_t)n * 2);
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> counts;
+  keys.reserve(n);
+  counts.reserve(n);
+  for (int i = 0; i < n; i++) {
+    auto it = index.find(hashes[i]);
+    if (it == index.end()) {
+      index.emplace(hashes[i], (int32_t)keys.size());
+      keys.push_back(hashes[i]);
+      counts.push_back(1);
+    } else {
+      counts[it->second]++;
+    }
+  }
+  if (keys.empty()) return false;
+
+  const int H = P.num_hashes;
+  out->assign(H, 0);
+  std::vector<int64_t> best(H, INT64_MAX);
+  int number_valid = 0;
+  for (size_t u = 0; u < keys.size(); u++) {
+    uint64_t key = keys[u];
+    int weight = counts[u];
+    if (P.repeat_weight < 0.0) weight = 1;
+    if (weight <= 0) continue;
+    number_valid++;
+    uint64_t x = key;
+    for (int word = 0; word < H; word++) {
+      int64_t *b = &best[word];
+      for (int c = 0; c < weight; c++) {
+        x ^= x << 21;
+        x ^= x >> 35;
+        x ^= x << 4;
+        if ((int64_t)x < *b) {
+          *b = (int64_t)x;
+          (*out)[word] = (word % 2 == 0) ? (int32_t)(uint32_t)key
+                                         : (int32_t)(uint32_t)(key >> 32);
+        }
+      }
+    }
+  }
+  return number_valid > 0;
+}
+
+// Bottom-k (hash,pos) sketch (BottomOverlapSketch.java:525-559): stable
+// sort by signed hash (fastutil radixSortIndirect is stable), keep bottom
+// min(sketchSize, n).
+void bottom_sketch(const uint32_t *hashes, int n, int sketch_size,
+                   std::vector<int32_t> *oh, std::vector<int32_t> *op) {
+  std::vector<int32_t> idx(n);
+  for (int i = 0; i < n; i++) idx[i] = i;
+  std::stable_sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
+    return (int32_t)hashes[a] < (int32_t)hashes[b];
+  });
+  int m = std::min(sketch_size, n);
+  oh->resize(m);
+  op->resize(m);
+  for (int i = 0; i < m; i++) {
+    (*oh)[i] = (int32_t)hashes[idx[i]];
+    (*op)[i] = idx[i];
+  }
+}
+
+void build_sketch(const std::string &seq, const Params &P, Sketch *sk) {
+  int len = (int)seq.size();
+  sk->length = len;
+  int n1 = len - P.kmer_size + 1;
+  int n2 = len - P.ordered_kmer_size + 1;
+  if (n1 < 1 || n2 < 1) {
+    sk->valid = false;
+    return;
+  }
+  std::vector<uint64_t> h128(n1);
+  mhap_kmer_hashes_128((const uint8_t *)seq.data(), len, P.kmer_size, 0,
+                       h128.data());
+  sk->valid = weighted_minhash(h128.data(), n1, P, &sk->minhash);
+  if (!sk->valid) return;
+  std::vector<uint32_t> h32(n2);
+  mhap_kmer_hashes_32((const uint8_t *)seq.data(), len, P.ordered_kmer_size,
+                      0, h32.data());
+  bottom_sketch(h32.data(), n2, P.ordered_sketch_size, &sk->oh, &sk->op);
+  sk->num_kmers = n2;
+}
+
+// ---------------- stage-2 scorer ----------------
+// Sequential merge automaton, ported from BottomOverlapSketch.java
+// (MatchData :64-298, recordMatchingKmers :397-516, getOverlapInfo
+// :592-630, computeKBottomSketchJaccard :304-364).
+
+struct MatchData {
+  int seq_len1, seq_len2;
+  double max_shift_percent;
+  std::vector<int32_t> pos1, pos2, shift;
+  int median_shift = 0;
+  int abs_max_shift = 0;
+  bool need_recompute = true;
+
+  MatchData(int l1, int l2, double msp)
+      : seq_len1(l1), seq_len2(l2), max_shift_percent(msp) {}
+
+  void reset() {
+    pos1.clear();
+    pos2.clear();
+    shift.clear();
+    need_recompute = true;
+  }
+  void record(int p1, int p2, int s) {
+    pos1.push_back(p1);
+    pos2.push_back(p2);
+    shift.push_back(s);
+    need_recompute = true;
+  }
+  void update() {
+    if (!need_recompute) return;
+    int count = (int)shift.size();
+    if (count > 0) {
+      // Utils.quickSelect(copy, count/2, count): k-th smallest, upper median
+      std::vector<int32_t> tmp(shift);
+      std::nth_element(tmp.begin(), tmp.begin() + count / 2, tmp.end());
+      median_shift = tmp[count / 2];
+      int left = std::max(0, -median_shift);
+      int right = std::min(seq_len1, seq_len2 - median_shift);
+      int overlap_size = std::max(10, right - left);
+      abs_max_shift = std::min(std::max(seq_len1, seq_len2),
+                               (int)((double)overlap_size * max_shift_percent));
+    } else {
+      median_shift = 0;
+      abs_max_shift = std::max(seq_len1, seq_len2) + 1;
+    }
+    need_recompute = false;
+  }
+  int v1l() { update(); return std::max(0, -median_shift - abs_max_shift); }
+  int v1u() { update(); return std::min(seq_len1, seq_len2 - median_shift + abs_max_shift); }
+  int v2l() { update(); return std::max(0, median_shift - abs_max_shift); }
+  int v2u() { update(); return std::min(seq_len2, seq_len1 + median_shift + abs_max_shift); }
+
+  void optimize_shifts() {
+    if (shift.empty()) return;
+    update();
+    int med = median_shift;
+    int rc = -1;
+    for (size_t i = 0; i < shift.size(); i++) {
+      if (rc >= 0 && pos1[rc] == pos1[i]) {
+        if (std::abs(shift[rc] - med) > std::abs(shift[i] - med)) {
+          pos1[rc] = pos1[i];
+          pos2[rc] = pos2[i];
+          shift[rc] = shift[i];
+        }
+      } else {
+        rc++;
+        pos1[rc] = pos1[i];
+        pos2[rc] = pos2[i];
+        shift[rc] = shift[i];
+      }
+    }
+    pos1.resize(rc + 1);
+    pos2.resize(rc + 1);
+    shift.resize(rc + 1);
+    need_recompute = true;
+  }
+
+  // returns valid count, or 0 if < 3; fills a1..b2 via UMVU estimators
+  int compute_edges(int *a1, int *a2, int *b1, int *b2) {
+    update();
+    int l1 = INT32_MAX, l2 = INT32_MAX, r1 = INT32_MIN, r2 = INT32_MIN;
+    int valid = 0;
+    for (size_t i = 0; i < shift.size(); i++) {
+      if (std::abs(shift[i] - median_shift) > abs_max_shift) continue;
+      l1 = std::min(l1, pos1[i]);
+      l2 = std::min(l2, pos2[i]);
+      r1 = std::max(r1, pos1[i]);
+      r2 = std::max(r2, pos2[i]);
+      valid++;
+    }
+    if (valid < 3) return 0;
+    int n = valid;
+    // Java: (int) Math.round((double)(n*lo - hi) / (n-1)); the subtraction
+    // wraps in int32 before the double divide (BottomOverlapSketch:131-134)
+    auto umvu = [n](int lo, int hi) {
+      int32_t num = (int32_t)((int64_t)n * lo - hi);
+      return (int)std::floor((double)num / (double)(n - 1) + 0.5);
+    };
+    *a1 = std::max(0, umvu(l1, r1));
+    *a2 = std::min(seq_len1, umvu(r1, l1));
+    *b1 = std::max(0, umvu(l2, r2));
+    *b2 = std::min(seq_len2, umvu(r2, l2));
+    return valid;
+  }
+};
+
+void record_matching_kmers(MatchData &md, const Sketch &s1, const Sketch &s2) {
+  md.update();
+  int median = md.median_shift, abs_max = md.abs_max_shift;
+  int v1l = md.v1l(), v1u = md.v1u(), v2l = md.v2l(), v2u = md.v2u();
+  int n1 = (int)s1.oh.size(), n2 = (int)s2.oh.size();
+  int i1 = 0, i2 = 0;
+  md.reset();
+  while (i1 < n1 && i2 < n2) {
+    int hash1 = s1.oh[i1], pos1 = s1.op[i1];
+    int hash2 = s2.oh[i2], pos2 = s2.op[i2];
+    if (hash1 < hash2 || pos1 < v1l || pos1 >= v1u) {
+      i1++;
+    } else if (hash2 < hash1 || pos2 < v2l || pos2 >= v2u) {
+      i2++;
+    } else {
+      int curr_shift = pos2 - pos1;
+      int diff = curr_shift - median;
+      if (diff > abs_max) {
+        i1++;
+      } else if (diff < -abs_max) {
+        i2++;
+      } else {
+        md.record(pos1, pos2, curr_shift);
+        // extend both cursors to the last consecutive same-hash entry with
+        // a valid position ("symmetry for reverse compliment")
+        int i1_last = i1;
+        for (int t = i1 + 1;
+             t < n1 && s1.oh[t] == hash1 && s1.op[t] >= v1l && s1.op[t] < v1u;
+             t++)
+          i1_last = t;
+        int i2_last = i2;
+        for (int t = i2 + 1;
+             t < n2 && s2.oh[t] == hash2 && s2.op[t] >= v2l && s2.op[t] < v2u;
+             t++)
+          i2_last = t;
+        if (i1 != i1_last || i2 != i2_last) {
+          int p1n = s1.op[i1_last], p2n = s2.op[i2_last];
+          md.record(p1n, p2n, p2n - p1n);
+          i1 = i1_last + 1;
+          i2 = i2_last + 1;
+        } else {
+          i1++;
+          i2++;
+        }
+      }
+    }
+  }
+}
+
+double bottom_k_jaccard(const Sketch &s1, const Sketch &s2, int a1, int a2,
+                        int b1, int b2) {
+  std::vector<int32_t> f1, f2;
+  for (size_t i = 0; i < s1.oh.size(); i++)
+    if (s1.op[i] >= a1 && s1.op[i] <= a2) f1.push_back(s1.oh[i]);
+  for (size_t j = 0; j < s2.oh.size(); j++)
+    if (s2.op[j] >= b1 && s2.op[j] <= b2) f2.push_back(s2.oh[j]);
+  int k = (int)std::min(f1.size(), f2.size());
+  if (k == 0) return 0.0;
+  int i = 0, j = 0, inter = 0, uni = 0;
+  while (uni < k) {
+    if (f1[i] < f2[j]) {
+      i++;
+    } else if (f1[i] > f2[j]) {
+      j++;
+    } else {
+      inter++;
+      i++;
+      j++;
+    }
+    uni++;
+  }
+  return (double)inter / (double)k;
+}
+
+double jaccard_to_identity(double score, int kmer_size) {
+  double d = -1.0 / (double)kmer_size * std::log(2.0 * score / (1.0 + score));
+  return std::exp(-d);
+}
+
+// Full getOverlapInfo (:592-630).  Returns false => EMPTY.
+bool get_overlap_info(const Sketch &s1, const Sketch &s2, const Params &P,
+                      double *score, double *raw, int *a1, int *a2, int *b1,
+                      int *b2) {
+  MatchData md(s1.num_kmers, s2.num_kmers, P.max_shift);
+  record_matching_kmers(md, s1, s2);
+  if (md.shift.empty()) return false;
+  record_matching_kmers(md, s1, s2);
+  if (md.shift.empty()) return false;
+  md.optimize_shifts();
+  if (md.shift.empty()) return false;
+  int valid = md.compute_edges(a1, a2, b1, b2);
+  if (valid == 0) return false;
+  double j = bottom_k_jaccard(s1, s2, *a1, *a2, *b1, *b2);
+  *score = jaccard_to_identity(j, P.ordered_kmer_size);
+  *raw = (double)valid;
+  return true;
+}
+
+// ---------------- LSH index + match driving ----------------
+
+struct Index {
+  // one value->rows table per hash position (MinHashSearch.java:85-92)
+  std::vector<std::unordered_map<int32_t, std::vector<int32_t>>> tables;
+};
+
+void build_index(const std::vector<Sketch> &store, const Params &P,
+                 Index *idx) {
+  idx->tables.resize(P.num_hashes);
+  std::atomic<int> next_table{0};
+  auto worker = [&]() {
+    int t;
+    while ((t = next_table.fetch_add(1)) < P.num_hashes) {
+      auto &tab = idx->tables[t];
+      for (int32_t r = 0; r < (int32_t)store.size(); r++)
+        tab[store[r].minhash[t]].push_back(r);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int i = 0; i < P.num_threads; i++) threads.emplace_back(worker);
+  for (auto &th : threads) th.join();
+}
+
+// Vote + suppression + scoring for one query row (MinHashSearch:149-251).
+void find_matches(const std::vector<Sketch> &store, const Index &idx,
+                  int32_t q, const Params &P, std::vector<std::string> *out) {
+  const Sketch &qs = store[q];
+  std::unordered_map<int32_t, int32_t> votes;
+  votes.reserve(256);
+  for (int t = 0; t < P.num_hashes; t++) {
+    auto it = idx.tables[t].find(qs.minhash[t]);
+    if (it == idx.tables[t].end()) continue;
+    for (int32_t r : it->second) votes[r]++;
+  }
+  char buf[256];
+  for (auto &kv : votes) {
+    int32_t c = kv.first;
+    const Sketch &cs = store[c];
+    if (cs.hid == qs.hid) continue;
+    if (kv.second < P.num_min_matches) continue;
+    int msl = P.min_store_length;
+    if (cs.length < msl && qs.length < msl) continue;
+    if (cs.hid > qs.hid && cs.length >= msl && qs.length >= msl) continue;
+    if (cs.length < msl && qs.length >= msl) continue;
+    double score, raw;
+    int a1, a2, b1, b2;
+    if (!get_overlap_info(qs, cs, P, &score, &raw, &a1, &a2, &b1, &b2))
+      continue;
+    if (score < P.threshold) continue;
+    // MatchResult coordinate flips + formatting (MatchResult.java:54-113)
+    int fa1 = qs.fwd ? a1 : qs.length - a2 - 1;
+    int fa2 = qs.fwd ? a2 : qs.length - a1 - 1;
+    int fb1 = cs.fwd ? b1 : cs.length - b2 - 1;
+    int fb2 = cs.fwd ? b2 : cs.length - b1 - 1;
+    double sc = std::min(score, 1.0);
+    snprintf(buf, sizeof(buf), "%lld %lld %.6f %.6f %d %d %d %d %d %d %d %d",
+             (long long)qs.hid, (long long)cs.hid, 1.0 - sc, raw,
+             qs.fwd ? 0 : 1, fa1, fa2, qs.length, cs.fwd ? 0 : 1, fb1, fb2,
+             cs.length);
+    out->push_back(buf);
+  }
+}
+
+// ---------------- FASTA + main ----------------
+
+void read_fasta(const std::string &path, std::vector<std::string> *reads) {
+  std::ifstream f(path);
+  if (!f) {
+    std::cerr << "cannot open " << path << "\n";
+    exit(1);
+  }
+  std::string line, cur;
+  bool have = false;
+  while (std::getline(f, line)) {
+    if (!line.empty() && line.back() == '\r') line.pop_back();
+    if (line.empty()) continue;
+    if (line[0] == '>') {
+      if (have) reads->push_back(cur);
+      cur.clear();
+      have = true;
+    } else {
+      for (char ch : line) cur.push_back((char)std::toupper((uint8_t)ch));
+    }
+  }
+  if (have) reads->push_back(cur);
+}
+
+}  // namespace
+
+int main(int argc, char **argv) {
+  Params P;
+  std::string fasta;
+  for (int i = 1; i < argc; i++) {
+    std::string a = argv[i];
+    auto next = [&](void) -> std::string {
+      if (i + 1 >= argc) { std::cerr << "missing value for " << a << "\n"; exit(1); }
+      return argv[++i];
+    };
+    if (a == "-s") fasta = next();
+    else if (a == "-k") P.kmer_size = std::stoi(next());
+    else if (a == "--num-hashes") P.num_hashes = std::stoi(next());
+    else if (a == "--num-min-matches") P.num_min_matches = std::stoi(next());
+    else if (a == "--threshold") P.threshold = std::stod(next());
+    else if (a == "--ordered-kmer-size") P.ordered_kmer_size = std::stoi(next());
+    else if (a == "--ordered-sketch-size") P.ordered_sketch_size = std::stoi(next());
+    else if (a == "--max-shift") P.max_shift = std::stod(next());
+    else if (a == "--min-store-length") P.min_store_length = std::stoi(next());
+    else if (a == "--min-olap-length") P.min_olap_length = std::stoi(next());
+    else if (a == "--repeat-weight") P.repeat_weight = std::stod(next());
+    else if (a == "--num-threads") P.num_threads = std::stoi(next());
+    else { std::cerr << "unknown flag " << a << "\n"; return 1; }
+  }
+  if (fasta.empty()) {
+    std::cerr << "usage: mhap_cpu -s reads.fa [flags] > out.m4\n";
+    return 1;
+  }
+  if (P.num_threads < 1) P.num_threads = 1;
+
+  std::vector<std::string> reads;
+  read_fasta(fasta, &reads);
+
+  // enqueue fwd + rev entries with the streamer's skip rules
+  // (SequenceSketchStreamer.java:123-177)
+  struct Entry { int64_t hid; bool fwd; std::string seq; };
+  std::vector<Entry> entries;
+  for (size_t i = 0; i < reads.size(); i++) {
+    int64_t hid = (int64_t)i + 1;
+    if ((int)reads[i].size() < P.min_olap_length) continue;
+    entries.push_back({hid, true, reads[i]});
+    entries.push_back({hid, false, reverse_complement(reads[i])});
+  }
+
+  // phase 1: parallel sketching
+  std::vector<Sketch> sk(entries.size());
+  {
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      size_t j;
+      while ((j = next.fetch_add(1)) < entries.size()) {
+        sk[j].hid = entries[j].hid;
+        sk[j].fwd = entries[j].fwd;
+        build_sketch(entries[j].seq, P, &sk[j]);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int i = 0; i < P.num_threads; i++) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+  // zero-ngram skip rules: fwd fails -> drop both; rev fails -> keep fwd
+  std::vector<Sketch> store;
+  store.reserve(sk.size());
+  for (size_t j = 0; j < sk.size(); j++) {
+    if (sk[j].fwd) {
+      if (!sk[j].valid) {
+        if (j + 1 < sk.size() && sk[j + 1].hid == sk[j].hid) j++;  // skip rev
+        continue;
+      }
+      store.push_back(std::move(sk[j]));
+    } else if (sk[j].valid) {
+      store.push_back(std::move(sk[j]));
+    }
+  }
+
+  // phase 2: index build
+  Index idx;
+  build_index(store, P, &idx);
+
+  // phase 3: parallel query over forward rows (self-overlap semantics)
+  std::vector<int32_t> fwd_rows;
+  for (int32_t r = 0; r < (int32_t)store.size(); r++)
+    if (store[r].fwd) fwd_rows.push_back(r);
+  std::vector<std::vector<std::string>> per_query(fwd_rows.size());
+  {
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      size_t j;
+      while ((j = next.fetch_add(1)) < fwd_rows.size())
+        find_matches(store, idx, fwd_rows[j], P, &per_query[j]);
+    };
+    std::vector<std::thread> threads;
+    for (int i = 0; i < P.num_threads; i++) threads.emplace_back(worker);
+    for (auto &th : threads) th.join();
+  }
+
+  std::ostringstream out;
+  size_t n_matches = 0;
+  for (auto &lines : per_query)
+    for (auto &l : lines) {
+      out << l << "\n";
+      n_matches++;
+    }
+  std::fwrite(out.str().data(), 1, out.str().size(), stdout);
+  std::cerr << "Total matches found: " << n_matches << "\n";
+  return 0;
+}
