@@ -328,7 +328,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
         else:
             box = oracle_pipeline.sketch_all(
                 reads, dict(cfg), kmer_filter, headers, do_rc=do_rc)
-    n_box = len(box)
+    n_box = box.n_real if hasattr(box, 'n_real') else len(box)
     print(f"Processed {n_box} unique sequences (fwd and rev).",
           file=sys.stderr)
     print(f"Time (s) to read and hash from file: {time.time() - t0}",
@@ -339,7 +339,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
     if ov is not None:
         import numpy as np
 
-        postings = ov.build_postings(box)
+        postings = ov._build_index(box)
         if not no_self or not q_file:
             t0 = time.time()
             q_sel = np.nonzero(box.is_fwd)[0]
@@ -378,7 +378,7 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
                 if sk.is_fwd:
                     lines.extend(index.find_matches(sk, to_self=True))
             lines_count += write_lines(sorted(lines), out, paf)
-        offset = len(box) // 2
+        offset = (box.n_real if hasattr(box, 'n_real') else len(box)) // 2
         if q_file:
             for qf in list_sequence_files(q_file):
                 qh, qreads = _load_reads(qf, store_full_id)

@@ -39,15 +39,20 @@ def build_postings_device(minhash: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("span_cap", "top_k", "min_matches"))
-def vote_device(post_vals, post_sids, query_mh, *, span_cap: int = 16,
-                top_k: int = 64, min_matches: int = 3):
-    """Vote counting for a query batch.
+def vote_device_packed(post_vals, post_sids, query_mh, *, span_cap: int = 16,
+                       top_k: int = 64, min_matches: int = 3):
+    """Vote counting for a query batch, packed for one-transfer readback.
 
     post_vals/post_sids: [H, N]; query_mh: [Q, H] int32.
-    Returns dict:
-      cand     [Q, top_k] i32  candidate sketch rows (by descending votes)
-      votes    [Q, top_k] i32  vote counts (0 => empty slot)
-      overflow [Q] i32         hits dropped by span_cap (0 => exact)
+    Returns ONE int32 array [Q, 2*top_k + 3] laid out as
+      [cand (top_k) | votes (top_k) | overflow | hits_total | distinct]
+    where ``cand``/``votes`` are the top candidates by descending vote
+    count (votes 0 => empty slot; only counts >= min_matches surface),
+    ``overflow`` counts hits dropped by span_cap (0 => exact result),
+    ``hits_total`` is the uncapped postings-bucket mass touched by the
+    query (MinHashSearch's additionalProcessed, :174-180) and ``distinct``
+    the number of distinct candidates hit (bestSequenceHit.size(), exact
+    when overflow == 0).
     """
     H, N = post_vals.shape
     Q = query_mh.shape[0]
@@ -62,6 +67,7 @@ def vote_device(post_vals, post_sids, query_mh, *, span_cap: int = 16,
         post_vals, query_mh)          # [Q, H]
     cnt = right - left
     overflow = jnp.sum(jnp.maximum(cnt - span_cap, 0), axis=1).astype(I32)
+    hits_total = jnp.sum(cnt, axis=1).astype(I32)
 
     # expand spans to candidate ids: [Q, H, span_cap]
     offs = jnp.arange(span_cap, dtype=I32)
@@ -100,4 +106,18 @@ def vote_device(post_vals, post_sids, query_mh, *, span_cap: int = 16,
     top_votes, top_idx = jax.lax.top_k(votes_all, top_k)
     top_cand = jnp.take_along_axis(s, top_idx, axis=1)
     top_cand = jnp.where(top_votes > 0, top_cand, -1)
-    return {"cand": top_cand, "votes": top_votes, "overflow": overflow}
+    distinct = jnp.sum(new_run, axis=1).astype(I32)
+    return jnp.concatenate(
+        [top_cand.astype(I32), top_votes.astype(I32), overflow[:, None],
+         hits_total[:, None], distinct[:, None]], axis=1)
+
+
+def vote_device(post_vals, post_sids, query_mh, *, span_cap: int = 16,
+                top_k: int = 64, min_matches: int = 3):
+    """Dict view of vote_device_packed (cand/votes/overflow)."""
+    packed = vote_device_packed(post_vals, post_sids, query_mh,
+                                span_cap=span_cap, top_k=top_k,
+                                min_matches=min_matches)
+    K = top_k
+    return {"cand": packed[:, :K], "votes": packed[:, K:2 * K],
+            "overflow": packed[:, 2 * K], "packed": packed}

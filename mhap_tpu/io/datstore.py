@@ -38,6 +38,8 @@ def write_dat(path: str, store: SketchStore, fwd_only: bool = False,
             if fwd_only and not fwd:
                 continue
             hid = int(store.header_id[i])
+            if hid == 0:  # keep-in-place padding row (sharded stores)
+                continue
             header = store.headers[i]
             if header is None:
                 header = str(hid)

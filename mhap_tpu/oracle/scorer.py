@@ -35,6 +35,11 @@ import numpy as np
 EMPTY = (0.0, 0.0, 0, 0, 0, 0)
 
 
+def _i32(x: int) -> int:
+    """Java int wraparound (all MatchData border math is 32-bit)."""
+    return ((int(x) + 2**31) % 2**32) - 2**31
+
+
 @dataclass
 class MatchState:
     """Mirror of BottomOverlapSketch.MatchData."""
@@ -61,20 +66,24 @@ class MatchState:
         self.need_recompute = True
 
     def _update(self):
+        # all border arithmetic wraps in int32 like the Java reference
+        # (MatchData.performUpdate + valid*(); observable for >1Gbp
+        # coordinate ranges, found by the C++ differential fuzz)
         if self.need_recompute:
             count = len(self.shift)
             if count > 0:
                 # quickSelect(copy, count/2, count): k-th order statistic,
                 # upper median for even counts (Utils.java:445-494)
                 self.median_shift = int(np.sort(np.asarray(self.shift, dtype=np.int64))[count // 2])
-                left = max(0, -self.median_shift)
-                right = min(self.seq_len1, self.seq_len2 - self.median_shift)
-                overlap_size = max(10, right - left)
+                left = max(0, _i32(-self.median_shift))
+                right = min(self.seq_len1,
+                            _i32(self.seq_len2 - self.median_shift))
+                overlap_size = max(10, _i32(right - left))
                 self.abs_max_shift = min(max(self.seq_len1, self.seq_len2),
                                          int(overlap_size * self.max_shift_percent))
             else:
                 self.median_shift = 0
-                self.abs_max_shift = max(self.seq_len1, self.seq_len2) + 1
+                self.abs_max_shift = _i32(max(self.seq_len1, self.seq_len2) + 1)
         self.need_recompute = False
 
     def get_median(self) -> int:
@@ -87,19 +96,21 @@ class MatchState:
 
     def valid1_lower(self) -> int:
         self._update()
-        return max(0, -self.get_median() - self.get_abs_max())
+        return max(0, _i32(-self.get_median() - self.get_abs_max()))
 
     def valid1_upper(self) -> int:
         self._update()
-        return min(self.seq_len1, self.seq_len2 - self.get_median() + self.get_abs_max())
+        return min(self.seq_len1,
+                   _i32(self.seq_len2 - self.get_median() + self.get_abs_max()))
 
     def valid2_lower(self) -> int:
         self._update()
-        return max(0, self.get_median() - self.get_abs_max())
+        return max(0, _i32(self.get_median() - self.get_abs_max()))
 
     def valid2_upper(self) -> int:
         self._update()
-        return min(self.seq_len2, self.seq_len1 + self.get_median() + self.get_abs_max())
+        return min(self.seq_len2,
+                   _i32(self.seq_len1 + self.get_median() + self.get_abs_max()))
 
     def optimize_shifts(self):
         """Dedup adjacent same-pos1 entries (MatchData.optimizeShifts)."""

@@ -1,22 +1,38 @@
-"""Multi-chip SPMD overlap step (mesh + shard_map + XLA collectives).
+"""Multi-chip SPMD overlapper (mesh + shard_map + XLA collectives).
 
 The reference is a single-JVM thread-pool program (SURVEY.md section 2.8);
-this module re-expresses its three concurrency structures as SPMD:
+this module re-expresses its three concurrency structures as SPMD over a
+``jax.sharding.Mesh``, following the band-sharded postings design of
+SURVEY.md section 2.8 / section 7:
 
-  * data-parallel sketching  -> reads sharded over the mesh axis, each
-    device sketches its shard (SequenceSketchStreamer.enqueueFullFile)
-  * concurrent LSH index     -> band-sharded vote: device d owns hash
-    positions [d*H/D, (d+1)*H/D); the index "build" is an all-gather of
-    sketch rows; votes are partial per-band counts merged with
-    psum_scatter back to the query's owner (MinHashSearch.java:85-181)
-  * work-stealing query loop -> fixed top-K candidate selection per query
-    + batched second-stage scoring on-device (MinHashSearch.java:194-251)
+  * data-parallel sketching  -> read batches row-sharded over the mesh,
+    every device runs the fused sketch kernel on its shard
+    (SequenceSketchStreamer.enqueueFullFile:179-222)
+  * concurrent LSH index     -> band-sharded sorted postings: device d owns
+    hash positions [d*H/D, (d+1)*H/D).  The index build is ONE all_to_all
+    of the sketch matrix (each device receives all reads' values for its
+    bands) plus a per-band lax.sort -- the postings analog of
+    MinHashSearch's 512 hash tables (MinHashSearch.java:85-147).
+  * work-stealing query loop -> chunked device-side vote: each band owner
+    answers lookups for its bands with vectorized binary search
+    (searchsorted) and routes the capped hit lists to the query's owner
+    with a second all_to_all; the owner sort-merges votes and keeps the
+    top-K candidates (MinHashSearch.java:161-225).  Fixed-capacity
+    discipline with an escalation ladder: span_cap/top_k overflow re-runs
+    the chunk at higher capacity and ultimately falls back to the exact
+    host vote, so the result set is always exact.
+  * candidate sketch fetch   -> masked-gather + psum: candidate rows live
+    on their owning device; every device contributes its rows to a psum'd
+    [T, C] gather (bounded by the pair chunk), then scores its T/D slice
+    of the pair batch locally with the vectorized two-pass scorer.
 
-Everything below is ONE jittable function over a jax.sharding.Mesh; the
-driver's dryrun and the multi-chip bench both call it.  Fixed-capacity
-discipline: each query keeps at most `top_k` candidates; the overflow
-count (candidates above the vote threshold that didn't fit) is returned so
-callers can detect truncation (SURVEY.md hard part #2).
+Memory per device is O(N/D + N*H/D + chunk): no stage materializes an
+all-pairs structure or a replicated sketch table, matching the reference's
+ability to index 40K+ sequences (docs/source/quickstart.rst:23).
+
+``ShardedOverlapper`` subclasses the single-chip ``TpuOverlapper`` so the
+CLI surface, ``.dat`` round trips, suppression rules, host fallbacks, and
+the M4 formatter are shared; only the dispatch layer changes.
 """
 
 from __future__ import annotations
@@ -25,233 +41,472 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..ops import bottomk as _bottomk
-from ..ops import minhash as _minhash
-from ..ops import murmur3 as _murmur3
 from ..ops import scorer as _kscorer
+from ..pipeline.overlapper import (SketchStore, TpuOverlapper, _decode_2bit,
+                                   _sketch_core)
 
 I32 = jnp.int32
 
 
 def make_mesh(devices=None, axis: str = "d") -> Mesh:
-    import numpy as np
-
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis,))
 
 
-def make_self_overlap_step(mesh: Mesh, cfg: dict, *, top_k: int = 8,
-                           w_cap: int = 8, axis: str = "d"):
-    """Build the jitted sharded self-overlap step.
+def _votes_from_sorted_hits(s, sentinel: int, min_matches: int, top_k: int):
+    """Vote counting over per-query sorted candidate-id hit lists.
 
-    fn(seq [B,L] u8, lens [B] i32, header_id [B] i32, is_fwd [B] bool)
-      -> dict of arrays sharded on the first axis:
-        votes    [B, top_k] i32   vote count per kept candidate
-        cand     [B, top_k] i32   global stored-row index of the candidate
-        valid    [B, top_k] bool  candidate passed vote + suppression rules
-        overflow [B] i32          suppressed candidates that did not fit
-        ok/inter/k/valid_cnt/a1/a2/b1/b2  [B, top_k] i32 scorer outputs
-
-    B and num_hashes must be divisible by mesh size.  All reads are both
-    stored and (if is_fwd) queried -- self-overlap semantics.
+    s: [Q, M] int32 ascending, invalid entries == sentinel (sort last).
+    Returns (cand [Q,K], votes [Q,K], distinct [Q]).
     """
-    D = mesh.devices.size
-    H = cfg["num_hashes"]
-    S = cfg["ordered_sketch_size"]
-    k1 = cfg["kmer_size"]
-    k2 = cfg["ordered_kmer_size"]
-    mm = cfg["num_min_matches"]
-    msl = cfg["min_store_length"]
-    if H % D:
-        raise ValueError(f"num_hashes={H} not divisible by mesh size {D}")
-    Hl = H // D
-    score_fast = _kscorer.make_score_pairs_fast(cfg["max_shift"], S,
-                                                jit=False)
-    score_slow = _kscorer.make_score_pairs(cfg["max_shift"], S, jit=False)
+    Q, M = s.shape
+    new_run = jnp.concatenate(
+        [jnp.ones((Q, 1), bool), s[:, 1:] != s[:, :-1]],
+        axis=1) & (s < sentinel)
+    pos = jnp.arange(M, dtype=I32)
+    valid_total = jnp.sum(s < sentinel, axis=1, keepdims=True)
+    run_start_idx = jnp.where(new_run, pos[None, :], M)
+    nxt = jnp.concatenate(
+        [run_start_idx[:, 1:], jnp.full((Q, 1), M, I32)], axis=1)
+    d = 1
+    while d < M:
+        nxt = jnp.minimum(nxt, jnp.concatenate(
+            [nxt[:, d:], jnp.full((Q, d), M, I32)], axis=1))
+        d *= 2
+    run_len = jnp.where(new_run,
+                        jnp.minimum(nxt, valid_total) - pos[None, :], 0)
+    run_len = jnp.maximum(run_len, 0)
+    votes_all = jnp.where(new_run & (run_len >= min_matches), run_len, 0)
+    top_votes, top_idx = jax.lax.top_k(votes_all, top_k)
+    top_cand = jnp.take_along_axis(s, top_idx, axis=1)
+    top_cand = jnp.where(top_votes > 0, top_cand, -1)
+    distinct = jnp.sum(new_run, axis=1).astype(I32)
+    return top_cand, top_votes, distinct
 
-    def local_sketch(seq, lens):
-        B, L = seq.shape
-        n1 = L - k1 + 1
-        valid1 = jnp.arange(n1)[None, :] < (lens[:, None] - k1 + 1)
-        hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
-        g = _minhash.sort_and_count(hi, lo, valid1)
-        w = jnp.where(g["first"], jnp.minimum(g["count"], w_cap), 0)
-        active = g["first"] & (w > 0)
-        mh = _minhash.weighted_min_reduce(
-            g["hi"], g["lo"], w, active, g["tiebreak"],
-            num_hashes=H, w_max=w_cap)
-        n2 = L - k2 + 1
-        valid2 = jnp.arange(n2)[None, :] < (lens[:, None] - k2 + 1)
-        h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
-        oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
-        nk = jnp.maximum(lens - k2 + 1, 0).astype(I32)
-        return mh, oh, op, om, nk
 
-    @partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
-        # loop carries in the min-reduce/scorer kernels are initialized from
-        # constants, which trips the varying-manual-axes checker; the
-        # dataflow is purely per-shard + explicit collectives, so disable it
-        check_vma=False)
-    def step(seq, lens, header_id, is_fwd):
-        # ---- stage 1: data-parallel sketching of the local read shard ----
-        mh, oh, op, om, nk = local_sketch(seq, lens)
-        b = seq.shape[0]
+class ShardedOverlapper(TpuOverlapper):
+    """Mesh-parallel overlapper: same semantics as TpuOverlapper, dispatch
+    sharded over the mesh axis.
 
-        # ---- stage 2: band-sharded index + vote ----
-        # "index build" = all-gather of sketch rows (each device serves its
-        # own band range of the full sketch matrix)
-        mh_all = jax.lax.all_gather(mh, axis, tiled=True)        # [B, H]
-        hid_all = jax.lax.all_gather(header_id, axis, tiled=True)
-        len_all = jax.lax.all_gather(lens, axis, tiled=True)
-        B = mh_all.shape[0]
-        d = jax.lax.axis_index(axis)
-        bands = jax.lax.dynamic_slice(mh_all, (0, d * Hl), (B, Hl))
-        # partial votes on the local bands, all queries x all stored
-        part = jnp.sum(
-            bands[:, None, :] == bands[None, :, :], axis=-1, dtype=I32)
-        # merge partial band votes; each device receives its queries' rows
-        votes = jax.lax.psum_scatter(
-            part, axis, scatter_dimension=0, tiled=True)         # [b, B]
+    The sketch store keeps chunk-padding rows IN PLACE (header_id 0) so no
+    cross-device row compaction is ever needed; suppression filters them
+    (pipeline/overlapper._find_matches: ``header_id > 0`` guard).
+    """
 
-        # ---- stage 3: suppression rules (MinHashSearch.java:194-225) ----
-        q_hid = header_id
-        q_len = lens.astype(I32)
-        cand_rows = jnp.arange(B, dtype=I32)
-        ok_pair = votes >= mm
-        ok_pair &= len_all[None, :] > 0  # padding rows never match
-        ok_pair &= hid_all[None, :] != q_hid[:, None]
-        both_short = (len_all[None, :] < msl) & (q_len[:, None] < msl)
-        ok_pair &= ~both_short
-        ok_pair &= ~((hid_all[None, :] > q_hid[:, None])
-                     & (len_all[None, :] >= msl) & (q_len[:, None] >= msl))
-        ok_pair &= ~((len_all[None, :] < msl) & (q_len[:, None] >= msl))
-        ok_pair &= is_fwd[:, None]  # only forward reads query in self mode
+    def __init__(self, mesh: Mesh, cfg=None, axis: str = "d", **kw):
+        super().__init__(cfg, **kw)
+        self.mesh = mesh
+        self.axis = axis
+        self.D = int(mesh.devices.size)
+        self.ROWS = 256 * self.D
+        self.device_vote = True
+        self.pair_chunk = max(self.pair_chunk,
+                              ((self.pair_chunk + self.D - 1) // self.D)
+                              * self.D)
+        if self.cfg["num_hashes"] % self.D:
+            raise ValueError(
+                f"num_hashes={self.cfg['num_hashes']} must be divisible by "
+                f"mesh size {self.D}")
+        self._stages: dict = {}
+        self._sharding = NamedSharding(mesh, P(axis))
 
-        n_ok = jnp.sum(ok_pair, axis=1).astype(I32)
-        overflow = jnp.maximum(n_ok - top_k, 0)
-        sel_votes = jnp.where(ok_pair, votes, -1)
-        top_votes, top_idx = jax.lax.top_k(sel_votes, top_k)     # [b, top_k]
-        valid = top_votes >= 0
+    # ---------------- sketch dispatch ----------------
 
-        # ---- stage 4: fetch candidate stage-2 sketches + score ----
-        oh_all = jax.lax.all_gather(oh, axis, tiled=True)        # [B, S]
-        op_all = jax.lax.all_gather(op, axis, tiled=True)
-        om_all = jax.lax.all_gather(om, axis, tiled=True)
-        nk_all = jax.lax.all_gather(nk, axis, tiled=True)
-        flat = top_idx.reshape(-1)                               # [b*K]
-        c_oh = oh_all[flat]
-        c_op = op_all[flat]
-        c_om = jnp.where(valid.reshape(-1), om_all[flat], 0)
-        c_nk = nk_all[flat]
-        rep = lambda x: jnp.repeat(x, top_k, axis=0)
-        sargs = (rep(oh), rep(op),
-                 jnp.where(valid.reshape(-1), rep(om), 0), rep(nk),
-                 c_oh, c_op, c_om, c_nk)
-        out = score_fast(*sargs)
-        needs_slow = out.pop("needs_slow") & valid.reshape(-1)
-        # exact-automaton fallback, executed only when some lane flags
-        # (batch-level cond; the predicate is a per-device scalar)
-        slow = jax.lax.cond(
-            jnp.any(needs_slow),
-            lambda: score_slow(*sargs),
-            lambda: {k: out[k] for k in
-                     ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2")})
-        out = {k: jnp.where(needs_slow, slow[k], v) for k, v in out.items()}
-        res = {k: v.reshape(b, top_k).astype(I32) for k, v in out.items()}
-        res["votes"] = top_votes
-        res["cand"] = top_idx
-        res["valid"] = valid
-        res["overflow"] = overflow
-        return res
+    def _push_bucket(self, packed, lens):
+        # defer: chunks are device_put with row sharding per dispatch
+        return (packed, lens)
 
-    in_sh = NamedSharding(mesh, P(axis))
-    return jax.jit(step, in_shardings=(in_sh,) * 4), step
+    def _sketch_chunk(self, handle, s, cap, R):
+        packed, lens = handle
+        pk = jax.device_put(packed[s:s + R], self._sharding)
+        ln = jax.device_put(lens[s:s + R], self._sharding)
+        return self._sketch_stage(packed.shape[1], cap)(pk, ln)
+
+    def _sketch_stage(self, L4: int, cap: int):
+        key = ("sketch", L4, cap)
+        fn = self._stages.get(key)
+        if fn is None:
+            cfg = self.cfg
+            k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
+            H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(self.axis), P(self.axis)),
+                     out_specs=P(self.axis), check_vma=False)
+            def f(pk, ln):
+                seq = _decode_2bit(pk, L4 * 4)
+                return _sketch_core(seq, ln, k1, k2, H, S, cap)
+
+            self._stages[key] = fn = f
+        return fn
+
+    def _sketch_chunk_u8(self, sub_d, sl_d, cap):
+        # irregular rows (non-ACGT): tiny; replicate-and-slice shard_map
+        # would be overkill -- run on the default device and let the chunk
+        # concat reshard
+        return super()._sketch_chunk_u8(sub_d, sl_d, cap)
+
+    def _finalize_store(self, entries, do_rc, mh_valid, select_row):
+        """Keep-in-place store: all chunk rows (including padding and
+        zero-ngram-dropped rows) stay where they are, so no cross-device
+        row compaction is needed; dropped/padding rows get header_id 0 and
+        never query, candidate-match (``_find_matches`` hid>0 guard), or
+        export (datstore skips hid 0)."""
+        concat_fn = getattr(self, "_concat_fn", None)
+        if concat_fn is None or self._long_rows:
+            # long reads / empty runs: the compacted host store is correct
+            # (the sharded stages re-push it with mesh sharding on entry)
+            return super()._finalize_store(entries, do_rc, mh_valid,
+                                           select_row)
+        N = len(entries)
+        keep = np.ones(N, bool)
+        for j, (hid, fwd, hdr, codes) in enumerate(entries):
+            if fwd and not mh_valid[j]:
+                keep[j] = False
+                if do_rc and j + 1 < N and entries[j + 1][0] == hid:
+                    keep[j + 1] = False
+            elif not fwd and not mh_valid[j]:
+                keep[j] = False
+        dev = concat_fn()
+        T = int(dev["minhash"].shape[0])
+        pos = self._entry_pos
+        k2 = self.cfg["ordered_kmer_size"]
+        hid = np.zeros(T, np.int64)
+        fwd = np.zeros(T, bool)
+        length = np.zeros(T, np.int32)
+        headers: list = [None] * T
+        for j in range(N):
+            p = pos[j]
+            if p < 0 or not keep[j]:
+                continue
+            hid[p] = entries[j][0]
+            fwd[p] = entries[j][1]
+            length[p] = len(entries[j][3])
+            headers[p] = entries[j][2]
+        nk = np.maximum(length.astype(np.int64) - k2 + 1, 0).astype(np.int32)
+        dev["num_kmers"] = jnp.asarray(nk)
+        return SketchStore(header_id=hid, is_fwd=fwd, length=length,
+                           headers=headers, dev_cols=dev, num_kmers=nk)
+
+    # ---------------- index + vote ----------------
+
+    def _build_index(self, store: SketchStore):
+        if store._dev_postings is None:
+            N = len(store)
+            if N % self.D:
+                # pad rows to a mesh multiple (header_id 0 rows)
+                store = _pad_store(store, self.D)
+            fn = self._index_stage(len(store))
+            vals, sids, mh_t = fn(store.dev("minhash"))
+            store._dev_postings = (vals, sids, mh_t)
+        return ("shard", store._dev_postings, store)
+
+    def _index_stage(self, N: int):
+        key = ("index", N)
+        fn = self._stages.get(key)
+        if fn is None:
+            axis = self.axis
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(axis),),
+                     out_specs=(P(axis, None), P(axis, None),
+                                P(None, axis)),
+                     check_vma=False)
+            def f(mh):  # [b, H] local rows
+                mh_t = jax.lax.all_to_all(mh, axis, split_axis=1,
+                                          concat_axis=0, tiled=True)
+                # mh_t: [B, Hl] -- all reads' values for my bands
+                vals_t = mh_t.T  # [Hl, B]
+                Hl, B = vals_t.shape
+                sid = jnp.broadcast_to(jnp.arange(B, dtype=I32), (Hl, B))
+                vals, sids = jax.lax.sort((vals_t, sid), dimension=1,
+                                          num_keys=1)
+                return vals, sids, mh_t
+
+            self._stages[key] = fn = f
+        return fn
+
+    VOTE_CHUNK = 2048
+
+    def _vote_dispatch(self, index, queries, q_sel):
+        kind, handle, store = index
+        if kind != "shard":
+            return super()._vote_dispatch(index, queries, q_sel)
+        mm = self.cfg["num_min_matches"]
+        N = len(store)
+        self_mode = queries is store
+        Q = len(q_sel)
+        QC = max(self.VOTE_CHUNK, self.D)
+        QC = ((QC + self.D - 1) // self.D) * self.D
+        rows_l, cand_l, votes_l = [], [], []
+        hits_total = 0
+        distinct = 0
+        host_mh = None
+        for s in range(0, Q, QC):
+            e = min(s + QC, Q)
+            rows = np.zeros(QC, np.int32)
+            rows[:e - s] = q_sel[s:e]
+            if self_mode:
+                q_in = jnp.asarray(rows)
+            else:
+                q_in = self._gather_rows_jit(
+                    queries.dev("minhash"), jnp.asarray(rows))
+            done = False
+            for span_cap, top_k in ((32, 96), (128, 256)):
+                K = min(top_k, N)
+                fn = self._vote_stage(N, QC, span_cap, K, mm, self_mode)
+                packed = np.asarray(fn(*handle, q_in))[:e - s]
+                cand = packed[:, :K]
+                votes = packed[:, K:2 * K]
+                overflow = packed[:, 2 * K]
+                saturated = (K < N) & (votes[:, -1] > 0)
+                if overflow.max() == 0 and not np.any(saturated):
+                    r, c = np.nonzero(votes > 0)
+                    rows_l.append(r.astype(np.int64) + s)
+                    cand_l.append(cand[r, c].astype(np.int64))
+                    votes_l.append(votes[r, c].astype(np.int64))
+                    hits_total += int(packed[:, 2 * K + 1].sum())
+                    distinct += int(packed[:, 2 * K + 2].sum())
+                    done = True
+                    break
+            if not done:
+                if host_mh is None:
+                    host_mh = queries.minhash[q_sel]
+                postings = getattr(store, "_host_postings", None)
+                if postings is None:
+                    postings = self.build_postings(store)
+                    store._host_postings = postings
+                qi, ci, vi = self.vote(postings, host_mh[s:e])
+                hits_total += int(vi.sum())
+                distinct += len(qi)
+                keep = vi >= mm
+                rows_l.append(qi[keep] + s)
+                cand_l.append(ci[keep])
+                votes_l.append(vi[keep])
+        if not rows_l:
+            z = np.zeros(0, np.int64)
+            return z, z, z, hits_total, distinct
+        return (np.concatenate(rows_l), np.concatenate(cand_l),
+                np.concatenate(votes_l), hits_total, distinct)
+
+    def _vote_stage(self, N, QC, span_cap, K, mm, self_mode):
+        key = ("vote", N, QC, span_cap, K, mm, self_mode)
+        fn = self._stages.get(key)
+        if fn is None:
+            axis = self.axis
+            D = self.D
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(axis, None), P(axis, None), P(None, axis),
+                               P()),
+                     out_specs=P(axis), check_vma=False)
+            def f(vals, sids, mh_t, q_in):
+                # vals/sids: [Hl, N] postings for my bands;
+                # mh_t: [N, Hl] band values; q_in: [QC] rows (self mode)
+                #       or [QC, H] query minhash (query mode)
+                Hl = vals.shape[0]
+                if self_mode:
+                    q_l = mh_t[q_in]                       # [QC, Hl]
+                else:
+                    d = jax.lax.axis_index(axis)
+                    q_l = jax.lax.dynamic_slice(
+                        q_in, (0, d * Hl), (QC, Hl))
+
+                def row_lookup(vrow, qv):
+                    return (jnp.searchsorted(vrow, qv, side="left"),
+                            jnp.searchsorted(vrow, qv, side="right"))
+
+                left, right = jax.vmap(row_lookup, in_axes=(0, 1),
+                                       out_axes=1)(vals, q_l)   # [QC, Hl]
+                cnt = right - left
+                over_part = jnp.sum(jnp.maximum(cnt - span_cap, 0),
+                                    axis=1).astype(I32)
+                hits_part = jnp.sum(cnt, axis=1).astype(I32)
+                offs = jnp.arange(span_cap, dtype=I32)
+                idx = left[:, :, None] + offs[None, None, :]
+                ok = offs[None, None, :] < jnp.minimum(cnt, span_cap)[:, :, None]
+                idx = jnp.clip(idx, 0, vals.shape[1] - 1)
+                cand = jax.vmap(lambda srow, irow: srow[irow],
+                                in_axes=(0, 1), out_axes=1)(sids, idx)
+                cand = jnp.where(ok, cand, N)     # [QC, Hl, cap]
+
+                # route hits to the query owner
+                hits2 = cand.reshape(QC, Hl * span_cap)
+                mine = jax.lax.all_to_all(hits2, axis, split_axis=0,
+                                          concat_axis=1, tiled=True)
+                # [QC/D, H*cap]
+                aux = jnp.stack([over_part, hits_part], axis=1)  # [QC, 2]
+                aux_m = jax.lax.all_to_all(aux, axis, split_axis=0,
+                                           concat_axis=1, tiled=True)
+                aux_m = aux_m.reshape(QC // D, D, 2).sum(axis=1)
+
+                s = jnp.sort(mine, axis=1)
+                top_cand, top_votes, distinct = _votes_from_sorted_hits(
+                    s, N, mm, K)
+                return jnp.concatenate(
+                    [top_cand.astype(I32), top_votes.astype(I32),
+                     aux_m[:, :1].astype(I32), aux_m[:, 1:2].astype(I32),
+                     distinct[:, None]], axis=1)
+
+            self._stages[key] = fn = f
+        return fn
+
+    # ---------------- pair scoring ----------------
+
+    def _score_dispatch(self, qs, cs, qq, cc):
+        if len(qs) % self.D:
+            qs = _pad_store(qs, self.D)
+        if cs is not qs and len(cs) % self.D:
+            cs = _pad_store(cs, self.D)
+        T = len(qq)
+        Pc = self.pair_chunk
+        names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2",
+                 "needs_slow")
+        outs = []
+        fn = self._score_stage(len(qs), len(cs), Pc,
+                               same=(cs is qs))
+        q_cols = tuple(qs.dev(n) for n in ("ordered_h", "ordered_p",
+                                           "ordered_m", "num_kmers"))
+        c_cols = q_cols if cs is qs else tuple(
+            cs.dev(n) for n in ("ordered_h", "ordered_p", "ordered_m",
+                                "num_kmers"))
+        for s in range(0, T, Pc):
+            e = min(s + Pc, T)
+            qq_p = np.zeros(Pc, np.int32)
+            cc_p = np.zeros(Pc, np.int32)
+            qq_p[:e - s] = qq[s:e]
+            cc_p[:e - s] = cc[s:e]
+            packed = np.asarray(fn(*q_cols, *c_cols, jnp.asarray(qq_p),
+                                   jnp.asarray(cc_p)))[:, :e - s]
+            outs.append(packed)
+        packed = np.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        return {n: packed[i] for i, n in enumerate(names)}
+
+    def _score_stage(self, Nq, Nc, Pc, same):
+        key = ("score", Nq, Nc, Pc, same)
+        fn = self._stages.get(key)
+        if fn is None:
+            axis = self.axis
+            D = self.D
+            S = self.cfg["ordered_sketch_size"]
+            score_fast = _kscorer.make_score_pairs_fast(
+                self.cfg["max_shift"], S,
+                cap=min(1024, 2 * S), jit=False)
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(axis),) * 8 + (P(), P()),
+                     out_specs=P(None, axis), check_vma=False)
+            def f(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
+                d = jax.lax.axis_index(axis)
+
+                def gather(oh, op, om, nk, rows):
+                    b = oh.shape[0]
+                    X = jnp.concatenate(
+                        [oh, op, om[:, None], nk[:, None]],
+                        axis=1).astype(I32)                  # [b, C]
+                    owner = rows // b
+                    loc = jnp.clip(rows % b, 0, b - 1)
+                    m = owner == d
+                    g = jnp.where(m[:, None], X[loc], 0)
+                    return jax.lax.psum(g, axis)             # [T, C] repl
+
+                Gq = gather(qoh, qop, qom, qnk, qi)
+                Gc = gather(coh, cop, com, cnk, ci)
+                t = qi.shape[0] // D
+                myq = jax.lax.dynamic_slice(Gq, (d * t, 0),
+                                            (t, Gq.shape[1]))
+                myc = jax.lax.dynamic_slice(Gc, (d * t, 0),
+                                            (t, Gc.shape[1]))
+
+                def unpack(G):
+                    return (G[:, :S], G[:, S:2 * S], G[:, 2 * S],
+                            G[:, 2 * S + 1])
+
+                a_h, a_p, a_m, a_nk = unpack(myq)
+                b_h, b_p, b_m, b_nk = unpack(myc)
+                out = score_fast(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk)
+                keys = ("ok", "inter", "k", "valid_cnt", "a1", "a2",
+                        "b1", "b2", "needs_slow")
+                return jnp.stack([out[k].astype(I32) for k in keys])
+
+            self._stages[key] = fn = f
+        return fn
+
+    def _pull_rows(self, store: SketchStore, rows: np.ndarray):
+        if len(store) % self.D:
+            store = _pad_store(store, self.D)
+        n = len(rows)
+        n_pad = ((n + self.D - 1) // self.D) * self.D
+        r = np.zeros(n_pad, np.int32)
+        r[:n] = rows
+        fn = self._gather_stage(len(store), n_pad)
+        cols = tuple(store.dev(c) for c in ("ordered_h", "ordered_p",
+                                            "ordered_m", "num_kmers"))
+        packed = np.asarray(fn(*cols, jnp.asarray(r)))[:n]
+        S = (packed.shape[1] - 2) // 2
+        return (packed[:, :S], packed[:, S:2 * S], packed[:, 2 * S],
+                packed[:, 2 * S + 1])
+
+    def _gather_stage(self, N, T):
+        key = ("gather", N, T)
+        fn = self._stages.get(key)
+        if fn is None:
+            axis = self.axis
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(axis),) * 4 + (P(),),
+                     out_specs=P(), check_vma=False)
+            def f(oh, op, om, nk, rows):
+                d = jax.lax.axis_index(axis)
+                b = oh.shape[0]
+                X = jnp.concatenate(
+                    [oh, op, om[:, None], nk[:, None]], axis=1).astype(I32)
+                owner = rows // b
+                loc = jnp.clip(rows % b, 0, b - 1)
+                g = jnp.where((owner == d)[:, None], X[loc], 0)
+                return jax.lax.psum(g, axis)
+
+            self._stages[key] = fn = f
+        return fn
+
+
+def _pad_store(store: SketchStore, D: int) -> SketchStore:
+    """Pad a store to a mesh-divisible row count with header_id-0 rows."""
+    N = len(store)
+    N_pad = ((N + D - 1) // D) * D
+    if N_pad == N:
+        return store
+    pad = N_pad - N
+    pad_vals = dict(minhash=0, ordered_h=int(_kscorer.PAD_HASH),
+                    ordered_p=0x7FFFFFFF, ordered_m=0, num_kmers=0)
+
+    dev = {}
+    for name in SketchStore.COLS:
+        a = store.dev(name)
+        dev[name] = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                            constant_values=pad_vals[name])
+    out = SketchStore(
+        header_id=np.concatenate([store.header_id, np.zeros(pad, np.int64)]),
+        is_fwd=np.concatenate([store.is_fwd, np.zeros(pad, bool)]),
+        length=np.concatenate([store.length, np.zeros(pad, np.int32)]),
+        headers=store.headers + [None] * pad,
+        dev_cols=dev)
+    return out
 
 
 def self_overlap_sharded(mesh: Mesh, cfg: dict, reads: list[str], *,
                          top_k: int = 16, w_cap: int = 8) -> list[str]:
-    """Host driver: run the sharded step on a read set and emit M4 lines.
-
-    Parity wrapper used by tests: pads the read set to a mesh-divisible
-    batch, applies the reference's skip rules on the host, converts the
-    integer scorer outputs to mash identities, and formats matches.
-    Raises if any query overflowed its top_k candidate budget.
-    """
-    import numpy as np
-
-    from ..oracle.scorer import jaccard_to_identity
-    from ..pipeline.overlapper import _rc_codes
-
-    D = mesh.devices.size
-    entries = []
-    for i, r in enumerate(reads):
-        hid = i + 1
-        if len(r) < cfg["min_olap_length"]:
-            continue
-        codes = np.frombuffer(r.upper().encode("ascii"), dtype=np.uint8)
-        if len(codes) < cfg["kmer_size"]:
-            continue
-        entries.append((hid, True, codes))
-        entries.append((hid, False, _rc_codes(codes)))
-    N = len(entries)
-    B = ((N + D - 1) // D) * D
-    L = max(len(e[2]) for e in entries)
-    L = ((L + 255) // 256) * 256
-    seq = np.zeros((B, L), np.uint8)
-    lens = np.zeros(B, np.int32)
-    hid = np.zeros(B, np.int32)
-    fwd = np.zeros(B, bool)
-    for j, (h, f, c) in enumerate(entries):
-        seq[j, :len(c)] = c
-        lens[j] = len(c)
-        hid[j] = h
-        fwd[j] = f
-    # padding rows: header_id 0 never queries (is_fwd False) and never
-    # passes the vote threshold as a candidate (length-0 rows hash pads)
-
-    fn, _ = make_self_overlap_step(mesh, cfg, top_k=top_k, w_cap=w_cap)
-    out = {k: np.asarray(v) for k, v in
-           fn(jnp.asarray(seq), jnp.asarray(lens), jnp.asarray(hid),
-              jnp.asarray(fwd)).items()}
-    if out["overflow"].max() > 0:
-        raise RuntimeError(
-            f"candidate overflow: max {int(out['overflow'].max())} over "
-            f"top_k={top_k}; raise top_k")
-
-    k2 = cfg["ordered_kmer_size"]
-    lines = []
-    for q in range(B):
-        if not fwd[q] or lens[q] == 0:
-            continue
-        for t in range(top_k):
-            if not out["valid"][q, t] or not out["ok"][q, t]:
-                continue
-            c = int(out["cand"][q, t])
-            if lens[c] == 0:
-                continue
-            kk = int(out["k"][q, t])
-            j = out["inter"][q, t] / kk if kk > 0 else 0.0
-            score = jaccard_to_identity(float(j), k2)
-            if score < cfg["threshold"]:
-                continue
-            a1, a2 = int(out["a1"][q, t]), int(out["a2"][q, t])
-            b1, b2 = int(out["b1"][q, t]), int(out["b2"][q, t])
-            qlen, clen = int(lens[q]), int(lens[c])
-            qf, cf = bool(fwd[q]), bool(fwd[c])
-            fa1 = a1 if qf else qlen - a2 - 1
-            fa2 = a2 if qf else qlen - a1 - 1
-            fb1 = b1 if cf else clen - b2 - 1
-            fb2 = b2 if cf else clen - b1 - 1
-            sc = min(score, 1.0)
-            lines.append("%s %s %.6f %.6f %d %d %d %d %d %d %d %d" % (
-                hid[q], hid[c], 1.0 - sc, float(out["valid_cnt"][q, t]),
-                0 if qf else 1, fa1, fa2, qlen,
-                0 if cf else 1, fb1, fb2, clen))
-    return sorted(lines)
+    """Run a sharded self-overlap and return the sorted M4 line set
+    (parity wrapper used by tests and the bench)."""
+    ov = ShardedOverlapper(mesh, cfg)
+    return ov.overlap_self(reads)

@@ -4,16 +4,21 @@ The device path mirrors the reference pipeline (main/MhapMain.java:377-552;
 impl/MinHashSearch.java; impl/AbstractMatchSearch.java) with a dense batched
 dataflow instead of thread pools:
 
-  encode reads -> [B, L] uint8 length-bucketed batches
+  encode reads -> 2-bit packed, length-bucketed [B, L/4] batches (one host
+    -> device transfer per bucket; non-ACGT reads take a uint8 side path)
     -> murmur3 k-mer hash kernels (ops/murmur3.py)
-    -> weighted-MinHash min-reduce (ops/minhash.py)     [stage-1 sketch]
-    -> bottom-k sort kernel (ops/bottomk.py)            [stage-2 sketch]
-  -> sorted-postings LSH vote (this file; device variant in index/)
-  -> batched two-pass merge scorer (ops/scorer.py)
+    -> weighted-MinHash min-reduce (ops/minhash.py / minhash_pallas.py)
+    -> bottom-k sort kernel (ops/bottomk.py)
+  -> DEVICE-RESIDENT sketch store (columns never leave HBM on the overlap
+     path; the link only carries packed reads in and accepted matches out)
+  -> sorted-postings LSH vote on device (index/postings.py), with an
+     escalation ladder (span_cap, top_k) and an exact host fallback
+  -> batched two-pass merge scorer (ops/scorer.py), one dispatch per run
   -> host float64 mash-identity conversion + M4 text emission
 
 Output parity: the emitted line *set* is identical to the oracle
-(mhap_tpu/oracle/pipeline.py) and therefore to the reference jar.
+(mhap_tpu/oracle/pipeline.py) and to the independently written native CPU
+implementation (native/mhap_cpu.cc).
 
 Weight handling: stage-1 weights are the per-read k-mer occurrence counts
 (tf mode, the default when no filter file is given: repeat_weight=0.9 with
@@ -25,7 +30,7 @@ reads, so the base cap almost always holds).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import time
 from functools import partial
 
 import jax
@@ -57,6 +62,11 @@ for _a, _b in [("A", "T"), ("C", "G"), ("M", "K"), ("R", "Y"), ("W", "W"),
     _RC_TABLE[ord(_a)] = ord(_b)
     _RC_TABLE[ord(_b)] = ord(_a)
 
+# ACGT -> 2-bit code; everything else -> 4 (irregular marker)
+_ACGT_MAP = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _ACGT_MAP[ord(_c)] = _i
+
 
 def _rc_codes(codes: np.ndarray) -> np.ndarray:
     """Reverse complement of ASCII codes (utils/Utils.java rc(), IUPAC)."""
@@ -67,46 +77,99 @@ def _bucket_len(n: int, quantum: int = 256) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-@dataclass
 class SketchStore:
-    """Host-side dense sketch arrays for a set of oriented reads.
+    """Dense sketch columns for a set of oriented reads.
 
     Mirrors impl/SequenceSketch.java's bundle, as columns:
-      header_id [N] int64, is_fwd [N] bool, length [N] int32,
-      minhash [N, H] int32, ordered_h/[N, S] int32, ordered_p [N, S] int32,
+      header_id [N] int64, is_fwd [N] bool, length [N] int32 (host numpy),
+      minhash [N, H] int32, ordered_h/ordered_p [N, S] int32,
       ordered_m [N] int32 (valid entries), num_kmers [N] int32.
+
+    The five big columns may live on DEVICE (``dev(name)``) and are
+    materialized to host numpy lazily on first attribute access -- the
+    overlap path never pulls them; only ``.dat``/npz export and the exact
+    host fallbacks do.
     """
-    header_id: np.ndarray
-    is_fwd: np.ndarray
-    length: np.ndarray
-    minhash: np.ndarray
-    ordered_h: np.ndarray
-    ordered_p: np.ndarray
-    ordered_m: np.ndarray
-    num_kmers: np.ndarray
-    headers: list = field(default_factory=list)
+
+    COLS = ("minhash", "ordered_h", "ordered_p", "ordered_m", "num_kmers")
+
+    def __init__(self, header_id, is_fwd, length, minhash=None,
+                 ordered_h=None, ordered_p=None, ordered_m=None,
+                 num_kmers=None, headers=None, dev_cols=None):
+        self.header_id = np.asarray(header_id, dtype=np.int64)
+        self.is_fwd = np.asarray(is_fwd, dtype=bool)
+        self.length = np.asarray(length, dtype=np.int32)
+        self.headers = (headers if headers is not None
+                        else [None] * len(self.header_id))
+        vals = dict(minhash=minhash, ordered_h=ordered_h,
+                    ordered_p=ordered_p, ordered_m=ordered_m,
+                    num_kmers=num_kmers)
+        self._host = {k: np.asarray(v) for k, v in vals.items()
+                      if v is not None}
+        self._dev = dict(dev_cols or {})
+        self._dev_cache = None       # scorer-padded device columns
+        self._dev_postings = None    # device postings (vals, sids)
 
     def __len__(self):
         return len(self.header_id)
+
+    @property
+    def n_real(self) -> int:
+        """Rows with a real sequence (header_id > 0); differs from len()
+        only for keep-in-place sharded stores with padding rows."""
+        return int(np.count_nonzero(self.header_id))
 
     def display(self, i: int) -> str:
         h = self.headers[i]
         return h if h is not None else str(int(self.header_id[i]))
 
+    def dev(self, name: str):
+        """Device-resident column (pushed from host on first use)."""
+        if name not in self._dev:
+            self._dev[name] = jnp.asarray(self._host[name])
+        return self._dev[name]
+
+    def _col(self, name: str) -> np.ndarray:
+        if name not in self._host:
+            self._host[name] = np.asarray(self._dev[name])
+        return self._host[name]
+
+    minhash = property(lambda self: self._col("minhash"))
+    ordered_h = property(lambda self: self._col("ordered_h"))
+    ordered_p = property(lambda self: self._col("ordered_p"))
+    ordered_m = property(lambda self: self._col("ordered_m"))
+    num_kmers = property(lambda self: self._col("num_kmers"))
+
     @staticmethod
     def concat(stores: list["SketchStore"]) -> "SketchStore":
         cols = {}
-        for name in ("header_id", "is_fwd", "length", "minhash", "ordered_h",
-                     "ordered_p", "ordered_m", "num_kmers"):
+        for name in ("header_id", "is_fwd", "length"):
+            cols[name] = np.concatenate([getattr(s, name) for s in stores])
+        for name in SketchStore.COLS:
             cols[name] = np.concatenate([getattr(s, name) for s in stores])
         headers = [h for s in stores for h in s.headers]
         return SketchStore(headers=headers, **cols)
 
 
-@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
-def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap):
-    """Whole sketch chunk in one compiled program (hash128 -> weighted
-    min-reduce; hash32 -> bottom-k)."""
+# ---------------- sketch kernels (jitted chunk programs) ----------------
+
+
+def _decode_2bit(packed, L: int):
+    """[R, L/4] uint8 -> [R, L] ASCII codes (device)."""
+    rep = jnp.repeat(packed, 4, axis=1)
+    sh = ((jnp.arange(L, dtype=jnp.int32) % 4) * 2).astype(jnp.uint8)
+    v = (rep >> sh[None, :]) & jnp.uint8(3)
+    # A=65 C=67 G=71 T=84
+    codes = jnp.uint8(65) + jnp.where(
+        v == 1, jnp.uint8(2), jnp.uint8(0)) + jnp.where(
+        v == 2, jnp.uint8(6), jnp.uint8(0)) + jnp.where(
+        v == 3, jnp.uint8(19), jnp.uint8(0))
+    return codes
+
+
+def _sketch_core(seq, lens, k1, k2, H, S, w_cap):
+    """Whole sketch chunk: hash128 -> weighted min-reduce; hash32 ->
+    bottom-k.  All outputs stay on device."""
     n1 = seq.shape[1] - k1 + 1
     valid1 = jnp.arange(n1)[None, :] < (lens[:, None] - k1 + 1)
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
@@ -121,7 +184,26 @@ def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap):
     valid2 = jnp.arange(n2)[None, :] < (lens[:, None] - k2 + 1)
     h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
     oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
-    return sketch, n_valid, max_w, oh, op, om
+    return dict(minhash=sketch, n_valid=n_valid, max_w=max_w,
+                ordered_h=oh, ordered_p=op, ordered_m=om)
+
+
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap", "R"))
+def _sketch_packed_jit(packed, lens, start, k1, k2, H, S, w_cap, R):
+    """Sketch R rows of a device-resident 2-bit-packed bucket starting at
+    row ``start`` (traced: one compile per bucket shape, not per chunk)."""
+    pr = jax.lax.dynamic_slice(packed, (start, 0), (R, packed.shape[1]))
+    lr = jax.lax.dynamic_slice(lens, (start,), (R,))
+    seq = _decode_2bit(pr, packed.shape[1] * 4)
+    return _sketch_core(seq, lr, k1, k2, H, S, w_cap)
+
+
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
+def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap):
+    """uint8 ASCII variant (irregular/non-ACGT rows, filter path)."""
+    out = _sketch_core(seq, lens, k1, k2, H, S, w_cap)
+    return (out["minhash"], out["n_valid"], out["max_w"],
+            out["ordered_h"], out["ordered_p"], out["ordered_m"])
 
 
 @partial(jax.jit, static_argnames=("k1",))
@@ -137,10 +219,15 @@ def _sketch_bottom_jit(seq, lens, k2, S):
     return _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
 
 
+@jax.jit
+def _gather_cols_jit(mh, oh, op, om, pos):
+    return mh[pos], oh[pos], op[pos], om[pos]
+
+
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
-    def __init__(self, cfg=None, w_caps=(4, 16, 128, 512), pair_chunk: int = 512,
+    def __init__(self, cfg=None, w_caps=(4, 16, 128, 512), pair_chunk: int = 2048,
                  kmer_filter=None):
         self.cfg = dict(DEFAULTS)
         if cfg:
@@ -157,14 +244,19 @@ class TpuOverlapper:
         self.slow_pair_count = 0  # observability: host-oracle fallbacks
         self._gather_score_cache: dict = {}
         self.long_window = 1 << 17  # streaming window for very long reads
-        # device_vote: run the LSH vote with the on-device postings kernel
-        # (index/postings.py); any span-cap overflow falls back to the
-        # exact host vote for the whole query batch
-        self.device_vote = False
+        # device_vote: LSH vote with the on-device postings kernel
+        # (index/postings.py) behind an escalation ladder; span-cap overflow
+        # or top-k saturation escalates, ultimately to the exact host vote.
+        # Default on for real accelerators; the CPU backend (tests) keeps
+        # the host vote to avoid per-shape compile churn -- dedicated tests
+        # force device_vote=True for parity coverage.
+        self.device_vote = jax.default_backend() != "cpu"
+        self.num_threads = None  # --num-threads: host-side pools (tools)
         # search statistics (MinHashSearch.java:51-58 atomics equivalent)
         self.stats = dict(matches_processed=0, sequences_searched=0,
                           elements_processed=0, sequences_hit=0,
-                          sequences_fully_compared=0)
+                          sequences_fully_compared=0,
+                          minhash_search_time=0.0, sort_merge_time=0.0)
 
     # ---------------- sketching ----------------
 
@@ -172,9 +264,8 @@ class TpuOverlapper:
         """codes: [B, L] uint8 (padded). Returns host numpy arrays
         (minhash [B,H], mh_valid [B] bool, oh, op, om, num_kmers).
 
-        The whole device computation (hashing + min-reduce + bottom-k) is
-        ONE jit call per chunk: eager jnp ops would each round-trip
-        through the remote-device tunnel."""
+        Host-materialized variant used by the filter path; the no-filter
+        path uses the device-resident flow in sketch_reads."""
         cfg = self.cfg
         k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
         H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
@@ -216,8 +307,6 @@ class TpuOverlapper:
         """Filtered sketch: device hashing, vectorized host keepKmer +
         tf-idf weights (exact Java double semantics, see freqfilter.py),
         device min-reduce."""
-        import jax
-
         cfg = self.cfg
         H = cfg["num_hashes"]
         f = self.kmer_filter
@@ -357,6 +446,31 @@ class TpuOverlapper:
         merged = allp[order[:m]].astype(np.int32)
         return mh, merged, L - k2 + 1
 
+    ROWS = 256  # fixed row-tile: bounds jit variants to (bucket_len,)
+    D = 1       # devices (ShardedOverlapper overrides)
+
+    # -- dispatch hooks (ShardedOverlapper re-targets these to shard_map) --
+
+    def _push_bucket(self, packed: np.ndarray, lens: np.ndarray):
+        """Move one packed bucket to the accelerator (handle is opaque to
+        the caller; the sharded subclass defers the transfer per chunk)."""
+        return (jnp.asarray(packed), jnp.asarray(lens))
+
+    def _sketch_chunk(self, handle, s: int, cap: int, R: int):
+        cfg = self.cfg
+        return _sketch_packed_jit(handle[0], handle[1], s,
+                                  cfg["kmer_size"], cfg["ordered_kmer_size"],
+                                  cfg["num_hashes"],
+                                  cfg["ordered_sketch_size"], cap, R)
+
+    def _sketch_chunk_u8(self, sub_d, sl_d, cap: int):
+        cfg = self.cfg
+        o = _sketch_fused_jit(sub_d, sl_d, cfg["kmer_size"],
+                              cfg["ordered_kmer_size"], cfg["num_hashes"],
+                              cfg["ordered_sketch_size"], cap)
+        return dict(zip(("minhash", "n_valid", "max_w", "ordered_h",
+                         "ordered_p", "ordered_m"), o))
+
     def sketch_reads(self, reads: list[str], headers=None, offset: int = 0,
                      do_rc: bool = True) -> SketchStore:
         """Sketch fwd (+rev) of every read with the reference's skip rules
@@ -373,8 +487,200 @@ class TpuOverlapper:
             entries.append((hid, True, hdr, codes))
             if do_rc:
                 entries.append((hid, False, hdr, _rc_codes(codes)))
+        if self.kmer_filter is not None:
+            return self._sketch_entries_host(entries, do_rc)
+        return self._sketch_entries_device(entries, do_rc)
 
-        # length-bucketed batches; very long reads stream separately
+    def _finalize_store(self, entries, do_rc, mh_valid, select_row):
+        """Apply zero-ngram skip rules and build the metadata columns.
+
+        select_row(sel) must return the 5 sketch columns for the kept
+        entry indices ``sel`` (device or host arrays).
+        """
+        N = len(entries)
+        # zero-ngram skip rules: fwd fails -> drop the read entirely;
+        # rev fails -> keep fwd only (enqueue() + enqueueUntilFound()).
+        keep = np.ones(N, bool)
+        for j, (hid, fwd, hdr, codes) in enumerate(entries):
+            if fwd and not mh_valid[j]:
+                keep[j] = False
+                if do_rc and j + 1 < N and entries[j + 1][0] == hid:
+                    keep[j + 1] = False
+            elif not fwd and not mh_valid[j]:
+                keep[j] = False
+        sel = np.nonzero(keep)[0]
+        cols = select_row(sel)
+        return SketchStore(
+            header_id=np.asarray([entries[j][0] for j in sel], np.int64),
+            is_fwd=np.asarray([entries[j][1] for j in sel], bool),
+            length=np.asarray([len(entries[j][3]) for j in sel], np.int32),
+            headers=[entries[j][2] for j in sel],
+            **cols)
+
+    def _sketch_entries_device(self, entries, do_rc) -> SketchStore:
+        """Device-resident sketching: 2-bit packed transfers in, sketch
+        columns stay in HBM, one flags readback."""
+        cfg = self.cfg
+        k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
+        H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+        ROWS = self.ROWS
+        N = len(entries)
+
+        by_bucket: dict[int, list[int]] = {}
+        long_idx: list[int] = []
+        for j, e in enumerate(entries):
+            if len(e[3]) >= self.LONG_READ_THRESHOLD:
+                long_idx.append(j)
+            else:
+                by_bucket.setdefault(_bucket_len(len(e[3])), []).append(j)
+
+        chunks = []      # dicts: out (device col dict), idxs (entry idx per
+        #                  row, -1 padding), redo args for cap escalation
+        for blen, idxs in sorted(by_bucket.items()):
+            nb = len(idxs)
+            nb_pad = ((nb + ROWS - 1) // ROWS) * ROWS
+            codes = np.zeros((nb_pad, blen), np.uint8)
+            lens = np.zeros(nb_pad, np.int32)
+            for r, j in enumerate(idxs):
+                c = entries[j][3]
+                codes[r, :len(c)] = c
+                lens[r] = len(c)
+            m = _ACGT_MAP[codes]
+            pos_ok = np.arange(blen)[None, :] < lens[:, None]
+            irr_rows = np.nonzero(((m == 4) & pos_ok).any(axis=1))[0]
+            m[m == 4] = 0
+            packed = (m[:, 0::4] | (m[:, 1::4] << 2) | (m[:, 2::4] << 4)
+                      | (m[:, 3::4] << 6)).astype(np.uint8)
+            handle = self._push_bucket(packed, lens)
+            row_idx = np.full(nb_pad, -1, np.int64)
+            row_idx[:nb] = idxs
+            for s in range(0, nb_pad, ROWS):
+                out = self._sketch_chunk(handle, s, self.w_caps[0], ROWS)
+                chunks.append(dict(
+                    out=out, idxs=row_idx[s:s + ROWS],
+                    redo=lambda cap, handle=handle, s=s:
+                        self._sketch_chunk(handle, s, cap, ROWS)))
+            if len(irr_rows):
+                # rows with non-ACGT codes: uint8 side path (exact hashes)
+                ni = len(irr_rows)
+                rq = max(8, self.D)
+                ni_pad = ((ni + rq - 1) // rq) * rq
+                sub = np.zeros((ni_pad, blen), np.uint8)
+                sub[:ni] = codes[irr_rows]
+                sl = np.zeros(ni_pad, np.int32)
+                sl[:ni] = lens[irr_rows]
+                sub_d, sl_d = jnp.asarray(sub), jnp.asarray(sl)
+                out = self._sketch_chunk_u8(sub_d, sl_d, self.w_caps[0])
+                ridx = np.full(ni_pad, -1, np.int64)
+                ridx[:ni] = row_idx[irr_rows]
+                chunks.append(dict(
+                    out=out, idxs=ridx,
+                    redo=lambda cap, sub_d=sub_d, sl_d=sl_d:
+                        self._sketch_chunk_u8(sub_d, sl_d, cap)))
+
+        # one readback: (n_valid, max_w) for every chunk row (the eager
+        # concat/stack are device-side dispatches, not transfers)
+        if chunks:
+            flags = np.asarray(jnp.stack([
+                jnp.concatenate([c["out"]["n_valid"] for c in chunks]),
+                jnp.concatenate([c["out"]["max_w"] for c in chunks])]))
+            nv_all, mw_all = flags[0], flags[1]
+        else:
+            nv_all = mw_all = np.zeros(0, np.int32)
+
+        # weight-cap escalation: re-run chunks containing over-cap rows
+        offs = np.cumsum([0] + [len(c["idxs"]) for c in chunks])
+        for ci, c in enumerate(chunks):
+            mw = mw_all[offs[ci]:offs[ci + 1]]
+            real = c["idxs"] >= 0
+            need = int(mw[real].max()) if real.any() else 0
+            if need <= self.w_caps[0]:
+                continue
+            for cap in self.w_caps[1:]:
+                if need <= cap:
+                    c["out"] = c["redo"](cap)
+                    break
+            else:
+                raise RuntimeError(
+                    f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+
+        # entry -> concat position (irregular rows override packed rows)
+        pos_of = np.full(N, -1, np.int64)
+        mh_valid = np.zeros(N, bool)
+        for ci, c in enumerate(chunks):
+            base = offs[ci]
+            for r, j in enumerate(c["idxs"]):
+                if j >= 0:
+                    pos_of[j] = base + r
+                    mh_valid[j] = nv_all[base + r] > 0
+
+        # long reads: host streaming path, appended as extra rows
+        long_rows = {}
+        for j in long_idx:
+            res = self._sketch_long(entries[j][3])
+            if res is not None:
+                long_rows[j] = res
+                mh_valid[j] = True
+
+        # context for subclasses that keep rows in place (parallel/sharded)
+        self._entry_pos = pos_of
+        self._long_rows = long_rows
+        self._concat_fn = (lambda: {
+            name: jnp.concatenate([c["out"][name] for c in chunks])
+            for name in ("minhash", "ordered_h", "ordered_p", "ordered_m")
+        }) if chunks else None
+
+        def select_row(sel):
+            nk = np.asarray([max(len(entries[j][3]) - k2 + 1, 0)
+                             for j in sel], np.int32)
+            dev_pos = pos_of[sel[pos_of[sel] >= 0]]
+            if chunks:
+                cat = {name: jnp.concatenate([c["out"][name]
+                                              for c in chunks])
+                       for name in ("minhash", "ordered_h", "ordered_p",
+                                    "ordered_m")}
+                g_mh, g_oh, g_op, g_om = _gather_cols_jit(
+                    cat["minhash"], cat["ordered_h"], cat["ordered_p"],
+                    cat["ordered_m"], jnp.asarray(dev_pos))
+            else:
+                g_mh = jnp.zeros((0, H), jnp.int32)
+                g_oh = jnp.zeros((0, S), jnp.int32)
+                g_op = jnp.zeros((0, S), jnp.int32)
+                g_om = jnp.zeros((0,), jnp.int32)
+            if not long_rows:
+                return dict(num_kmers=nk,
+                            dev_cols=dict(minhash=g_mh, ordered_h=g_oh,
+                                          ordered_p=g_op, ordered_m=g_om,
+                                          num_kmers=jnp.asarray(nk)))
+            # rare: merge device rows + host long-read rows in sel order
+            h = [np.asarray(g_mh), np.asarray(g_oh), np.asarray(g_op),
+                 np.asarray(g_om)]
+            rows = [[], [], [], []]
+            di = 0
+            for j in sel:
+                if j in long_rows:
+                    mh, merged, _ = long_rows[j]
+                    oh = np.full(S, 0x7FFFFFFF, np.int32)
+                    op = np.full(S, 0x7FFFFFFF, np.int32)
+                    oh[:len(merged)] = merged[:, 0]
+                    op[:len(merged)] = merged[:, 1]
+                    for lst, v in zip(rows, (mh[None], oh[None], op[None],
+                                             np.asarray([len(merged)],
+                                                        np.int32))):
+                        lst.append(v)
+                else:
+                    for lst, arr in zip(rows, h):
+                        lst.append(arr[di:di + 1])
+                    di += 1
+            cat2 = [np.concatenate(r) if r else a for r, a in zip(rows, h)]
+            return dict(minhash=cat2[0], ordered_h=cat2[1],
+                        ordered_p=cat2[2], ordered_m=cat2[3], num_kmers=nk)
+
+        return self._finalize_store(entries, do_rc, mh_valid, select_row)
+
+    def _sketch_entries_host(self, entries, do_rc) -> SketchStore:
+        """Host-materialized sketching (filter path + compatibility)."""
+        cfg = self.cfg
         by_bucket: dict[int, list[int]] = {}
         long_idx: list[int] = []
         for j, e in enumerate(entries):
@@ -392,7 +698,7 @@ class TpuOverlapper:
         ordered_m = np.zeros(N, np.int32)
         num_kmers = np.zeros(N, np.int32)
 
-        ROWS = 256  # fixed row-tile: bounds jit variants to (bucket_len,)
+        ROWS = self.ROWS
         for blen, idxs in sorted(by_bucket.items()):
             for s in range(0, len(idxs), ROWS):
                 chunk = idxs[s:s + ROWS]
@@ -426,35 +732,20 @@ class TpuOverlapper:
                 ordered_m[j] = len(merged)
                 num_kmers[j] = nk
 
-        # zero-ngram skip rules: fwd fails -> drop the read entirely;
-        # rev fails -> keep fwd only (enqueue() + enqueueUntilFound()).
-        keep = np.ones(N, bool)
-        for j, (hid, fwd, hdr, codes) in enumerate(entries):
-            if fwd and not mh_valid[j]:
-                keep[j] = False
-                if do_rc and j + 1 < N and entries[j + 1][0] == hid:
-                    keep[j + 1] = False
-            elif not fwd and not mh_valid[j]:
-                keep[j] = False
-        sel = np.nonzero(keep)[0]
-        return SketchStore(
-            header_id=np.asarray([entries[j][0] for j in sel], np.int64),
-            is_fwd=np.asarray([entries[j][1] for j in sel], bool),
-            length=np.asarray([len(entries[j][3]) for j in sel], np.int32),
-            minhash=minhash[sel],
-            ordered_h=ordered_h[sel],
-            ordered_p=ordered_p[sel],
-            ordered_m=ordered_m[sel],
-            num_kmers=num_kmers[sel],
-            headers=[entries[j][2] for j in sel],
-        )
+        return self._finalize_store(
+            entries, do_rc, mh_valid,
+            lambda sel: dict(minhash=minhash[sel], ordered_h=ordered_h[sel],
+                             ordered_p=ordered_p[sel],
+                             ordered_m=ordered_m[sel],
+                             num_kmers=num_kmers[sel]))
 
     # ---------------- LSH vote ----------------
 
     @staticmethod
     def build_postings(store: SketchStore):
         """Sorted postings over (position, hashValue): the array-based
-        re-expression of MinHashSearch's 512 hash tables (:85-147)."""
+        re-expression of MinHashSearch's 512 hash tables (:85-147).
+        Host fallback; the default path uses index/postings.py on device."""
         N, H = store.minhash.shape
         pos = np.repeat(np.arange(H, dtype=np.int64), N)
         val = store.minhash.T.reshape(-1).astype(np.int64) & 0xFFFFFFFF
@@ -489,71 +780,161 @@ class TpuOverlapper:
         upair, votes = np.unique(pair, return_counts=True)
         return upair >> 32, upair & 0xFFFFFFFF, votes
 
-    def _vote_dispatch(self, store, postings, query_mh):
-        """Host numpy vote by default; optional device postings kernel
-        (exact host fallback when any span overflows)."""
-        if not self.device_vote:
-            return self.vote(postings, query_mh)
-        from ..index.postings import build_postings_device, vote_device
+    def _build_index(self, store: SketchStore):
+        """Index handle for _find_matches: device postings by default."""
+        if self.device_vote:
+            from ..index.postings import build_postings_device
 
-        dev = getattr(store, "_dev_postings", None)
-        if dev is None:
-            dev = build_postings_device(store.minhash)
-            store._dev_postings = dev
-        K = min(256, len(store))
-        out = vote_device(dev[0], dev[1], query_mh, span_cap=32, top_k=K,
-                          min_matches=self.cfg["num_min_matches"])
-        votes = np.asarray(out["votes"])
-        # exactness guards: span-cap overflow, or a full candidate list
-        # (possible truncation of equally-voted candidates)
-        if int(np.asarray(out["overflow"]).max()) > 0 or \
-                (K < len(store) and (votes[:, -1] > 0).any()):
-            return self.vote(postings, query_mh)
-        cand = np.asarray(out["cand"])
-        rows, cols = np.nonzero(votes > 0)
-        return rows.astype(np.int64), cand[rows, cols].astype(np.int64), \
-            votes[rows, cols].astype(np.int64)
+            if store._dev_postings is None:
+                store._dev_postings = build_postings_device(
+                    store.dev("minhash"))
+            return ("dev", store._dev_postings, store)
+        return ("host", self.build_postings(store), store)
+
+    VOTE_CHUNK = 2048  # query rows per device vote dispatch (bounds the
+    #                    [Qc, H, span_cap] hit expansion + sort width)
+
+    def _vote_dispatch(self, index, queries: "SketchStore",
+                       q_sel: np.ndarray):
+        """Returns (q_idx, cand, votes, hits_total, distinct_hit) host
+        arrays over candidate pairs with count >= num_min_matches,
+        semantics matching MinHashSearch.findMatches (:161-225).
+
+        Device path: chunked over queries with an escalation ladder over
+        (span_cap, top_k); any remaining overflow/saturation falls back to
+        the exact host vote for that chunk."""
+        kind, handle, store = index
+        mm = self.cfg["num_min_matches"]
+        if kind != "dev":
+            q_idx, cand, votes = self.vote(handle, queries.minhash[q_sel])
+            hits_total = int(votes.sum())
+            distinct = len(q_idx)
+            keep = votes >= mm
+            return (q_idx[keep], cand[keep], votes[keep], hits_total,
+                    distinct)
+
+        from ..index.postings import vote_device_packed
+
+        query_mh_dev = self._gather_rows_jit(
+            queries.dev("minhash"), jnp.asarray(q_sel.astype(np.int32)))
+        query_mh_host_fn = lambda: queries.minhash[q_sel]
+        N = len(store)
+        Q = int(query_mh_dev.shape[0])
+        QC = self.VOTE_CHUNK
+        host_mh = None
+        rows_l, cand_l, votes_l = [], [], []
+        hits_total = 0
+        distinct = 0
+        for s in range(0, Q, QC):
+            e = min(s + QC, Q)
+            qc = query_mh_dev[s:e]
+            done = False
+            for span_cap, top_k in ((32, 96), (128, 256)):
+                K = min(top_k, N)
+                packed = np.asarray(vote_device_packed(
+                    handle[0], handle[1], qc, span_cap=span_cap,
+                    top_k=K, min_matches=mm))[:e - s]
+                cand = packed[:, :K]
+                votes = packed[:, K:2 * K]
+                overflow = packed[:, 2 * K]
+                saturated = (K < N) & (votes[:, -1] > 0)
+                if overflow.max() == 0 and not np.any(saturated):
+                    r, c = np.nonzero(votes > 0)
+                    rows_l.append(r.astype(np.int64) + s)
+                    cand_l.append(cand[r, c].astype(np.int64))
+                    votes_l.append(votes[r, c].astype(np.int64))
+                    hits_total += int(packed[:, 2 * K + 1].sum())
+                    distinct += int(packed[:, 2 * K + 2].sum())
+                    done = True
+                    break
+            if not done:
+                # exact host fallback for this chunk
+                if host_mh is None:
+                    host_mh = query_mh_host_fn()
+                postings = getattr(store, "_host_postings", None)
+                if postings is None:
+                    postings = self.build_postings(store)
+                    store._host_postings = postings
+                qi, ci, vi = self.vote(postings, host_mh[s:e])
+                hits_total += int(vi.sum())
+                distinct += len(qi)
+                keep = vi >= mm
+                rows_l.append(qi[keep] + s)
+                cand_l.append(ci[keep])
+                votes_l.append(vi[keep])
+        if not rows_l:
+            z = np.zeros(0, np.int64)
+            return z, z, z, hits_total, distinct
+        return (np.concatenate(rows_l), np.concatenate(cand_l),
+                np.concatenate(votes_l), hits_total, distinct)
 
     # ---------------- pair scoring ----------------
 
     def _dev_store(self, store: SketchStore, quantum: int = 1024):
-        """Device-resident ordered-sketch columns, padded to a size quantum
-        (bounds jit variants); pushed once per store and cached on it."""
+        """Scorer-ready device columns, row-padded to a size quantum
+        (bounds jit variants); cached on the store."""
         N = len(store)
         N_pad = max(quantum, ((N + quantum - 1) // quantum) * quantum)
-        cached = getattr(store, "_dev_cache", None)
+        cached = store._dev_cache
         if cached is not None and cached[0] == N_pad:
             return cached[1]
 
-        def pad(a, fill):
-            out = np.full((N_pad,) + a.shape[1:], fill, a.dtype)
-            out[:N] = a
-            return jnp.asarray(out)
-
-        dev = (pad(store.ordered_h, _kscorer.PAD_HASH),
-               pad(store.ordered_p, np.int32(0x7FFFFFFF)),
-               pad(store.ordered_m, 0), pad(store.num_kmers, 0))
+        pad_vals = dict(ordered_h=int(_kscorer.PAD_HASH),
+                        ordered_p=0x7FFFFFFF, ordered_m=0, num_kmers=0)
+        cols = []
+        for name in ("ordered_h", "ordered_p", "ordered_m", "num_kmers"):
+            a = store.dev(name)
+            pad = N_pad - a.shape[0]
+            if pad:
+                a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                            constant_values=pad_vals[name])
+            cols.append(a)
+        dev = tuple(cols)
         store._dev_cache = (N_pad, dev)
         return dev
 
-    def _score_chunk(self, fn, qs, cs, qq, cc):
-        """Gather+score fully on device: sketch columns live on device
-        (pushed once), only the pair index vectors cross the host link."""
+    def _pull_rows(self, store: SketchStore, rows: np.ndarray):
+        """Materialize a few sketch rows to host (slow-lane fallback):
+        one packed transfer."""
+        oh, op, om, nk = self._dev_store(store)
+        r = jnp.asarray(rows.astype(np.int32))
+        packed = np.asarray(jnp.concatenate(
+            [oh[r], op[r], om[r][:, None], nk[r][:, None]], axis=1))
+        S = (packed.shape[1] - 2) // 2
+        return (packed[:, :S], packed[:, S:2 * S], packed[:, 2 * S],
+                packed[:, 2 * S + 1])
+
+    def _score_dispatch(self, qs, cs, qq, cc):
+        """Gather+score fully on device in ONE dispatch; outputs packed
+        into a single array so the readback is one transfer."""
         q_dev = self._dev_store(qs)
         c_dev = self._dev_store(cs) if cs is not qs else q_dev
-        key = (id(fn), q_dev[0].shape[0], c_dev[0].shape[0], len(qq))
+        T = len(qq)
+        P = self.pair_chunk
+        T_pad = max(P, ((T + P - 1) // P) * P)
+        qq_p = np.zeros(T_pad, np.int32)
+        cc_p = np.zeros(T_pad, np.int32)
+        qq_p[:T] = qq
+        cc_p[:T] = cc
+        key = (q_dev[0].shape[0], c_dev[0].shape[0], T_pad)
         gf = self._gather_score_cache.get(key)
         if gf is None:
-            import jax
+            fn = self._score_fast
+            keys = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1",
+                    "b2", "needs_slow")
 
             def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
-                return fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
-                          coh[ci], cop[ci], com[ci], cnk[ci])
+                out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
+                         coh[ci], cop[ci], com[ci], cnk[ci])
+                return jnp.stack([out[k].astype(jnp.int32) for k in keys])
 
             gf = jax.jit(impl)
             self._gather_score_cache[key] = gf
-        return gf(*q_dev, *c_dev, jnp.asarray(qq.astype(np.int32)),
-                  jnp.asarray(cc.astype(np.int32)))
+        packed = np.asarray(gf(*q_dev, *c_dev, jnp.asarray(qq_p),
+                               jnp.asarray(cc_p)))[:, :T]
+        names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2",
+                 "needs_slow")
+        return {n: packed[i] for i, n in enumerate(names)}
 
     def score_pairs(self, qs: SketchStore, cs: SketchStore,
                     qi: np.ndarray, ci: np.ndarray):
@@ -570,56 +951,43 @@ class TpuOverlapper:
         score = np.zeros(T, np.float64)
         raw = np.zeros(T, np.float64)
         edges = np.zeros((T, 4), np.int32)
-        slow_q, slow_c, slow_t = [], [], []
-        P = self.pair_chunk
+        if T == 0:
+            return score, raw, edges
+        out = self._score_dispatch(qs, cs, qi.astype(np.int32),
+                                   ci.astype(np.int32))
+        ok = out["ok"].astype(bool)
+        kk = out["k"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(kk > 0, out["inter"] / np.maximum(kk, 1), 0.0)
+        # scalar math.exp/log per pair: bit-identical to the oracle/Java
+        # double path (numpy's SIMD exp/log may differ by 1 ulp)
+        sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
+                       for x in j])
+        score[:] = np.where(ok, sc, 0.0)
+        raw[:] = np.where(ok, out["valid_cnt"].astype(np.float64), 0.0)
+        for n, name in enumerate(("a1", "a2", "b1", "b2")):
+            edges[:, n] = np.where(ok, out[name], 0)
 
-        def fill(dst_idx, out, sel=None):
-            o = {k: np.asarray(v) for k, v in out.items()}
-            if sel is not None:
-                o = {k: v[sel] for k, v in o.items()}
-            ok = o["ok"].astype(bool)
-            kk = o["k"]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                j = np.where(kk > 0, o["inter"] / np.maximum(kk, 1), 0.0)
-            sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
-                           for x in j])
-            score[dst_idx] = np.where(ok, sc, 0.0)
-            raw[dst_idx] = np.where(ok, o["valid_cnt"].astype(np.float64), 0.0)
-            for n, name in enumerate(("a1", "a2", "b1", "b2")):
-                edges[dst_idx, n] = np.where(ok, o[name], 0)
-
-        for s in range(0, T, P):
-            e = min(s + P, T)
-            pad = P - (e - s)
-            qq = np.concatenate([qi[s:e], np.repeat(qi[s:s + 1], pad)])
-            cc = np.concatenate([ci[s:e], np.repeat(ci[s:s + 1], pad)])
-            out = self._score_chunk(self._score_fast, qs, cs, qq, cc)
-            ns = np.asarray(out["needs_slow"])[:e - s]
-            dst = np.arange(s, e)
-            fill(dst, {k: np.asarray(v)[:e - s] for k, v in out.items()})
-            if ns.any():
-                slow_t.extend(dst[ns])
-                slow_q.extend(qq[:e - s][ns])
-                slow_c.extend(cc[:e - s][ns])
-
-        if slow_t:
+        ns = out["needs_slow"].astype(bool)
+        if ns.any():
             # flagged lanes are rare (automaton corner cases); the host
             # oracle scores them exactly in microseconds each, far cheaper
             # than a latency-bound device while_loop relaunch
+            slow_t = np.nonzero(ns)[0]
             self.slow_pair_count += len(slow_t)
-            from ..oracle import scorer as _osc
-
-            for t, qj, cj in zip(slow_t, slow_q, slow_c):
-                m1 = int(qs.ordered_m[qj])
-                m2 = int(cs.ordered_m[cj])
-                s1 = np.stack([qs.ordered_h[qj, :m1],
-                               qs.ordered_p[qj, :m1]], axis=1)
-                s2 = np.stack([cs.ordered_h[cj, :m2],
-                               cs.ordered_p[cj, :m2]], axis=1)
-                sc, rw, a1, a2, b1, b2 = _osc.get_overlap_info(
-                    s1, int(qs.num_kmers[qj]), s2, int(cs.num_kmers[cj]),
+            q_rows = qi[slow_t]
+            c_rows = ci[slow_t]
+            q_oh, q_op, q_om, q_nk = self._pull_rows(qs, q_rows)
+            c_oh, c_op, c_om, c_nk = self._pull_rows(cs, c_rows)
+            for t_i, t in enumerate(slow_t):
+                m1 = int(q_om[t_i])
+                m2 = int(c_om[t_i])
+                s1 = np.stack([q_oh[t_i, :m1], q_op[t_i, :m1]], axis=1)
+                s2 = np.stack([c_oh[t_i, :m2], c_op[t_i, :m2]], axis=1)
+                sc1, rw, a1, a2, b1, b2 = _oscorer.get_overlap_info(
+                    s1, int(q_nk[t_i]), s2, int(c_nk[t_i]),
                     k2, self.cfg["max_shift"])
-                score[t] = sc
+                score[t] = sc1
                 raw[t] = rw
                 edges[t] = (a1, a2, b1, b2)
         return score, raw, edges
@@ -648,21 +1016,33 @@ class TpuOverlapper:
                 0 if cf else 1, fb1, fb2, clen))
         return lines
 
-    def _find_matches(self, store: SketchStore, postings, queries: SketchStore,
+    @staticmethod
+    @jax.jit
+    def _gather_rows_jit(mh, rows):
+        return mh[rows]
+
+    def _find_matches(self, store: SketchStore, index, queries: SketchStore,
                       q_sel: np.ndarray, to_self: bool) -> list[str]:
         """Vote + suppression rules + scoring (MinHashSearch.java:149-251)."""
         cfg = self.cfg
         if len(q_sel) == 0:
             return []
-        q_idx, cand, votes = self._vote_dispatch(store, postings,
-                                                 queries.minhash[q_sel])
+        store = index[2]  # candidate row ids refer to the index's store
+        t0 = time.perf_counter()
+        q_idx, cand, votes, hits_total, distinct = self._vote_dispatch(
+            index, queries, q_sel)
+        self.stats["minhash_search_time"] += time.perf_counter() - t0
         self.stats["sequences_searched"] += len(q_sel)
-        self.stats["elements_processed"] += int(votes.sum())
-        self.stats["sequences_hit"] += len(q_idx)
+        self.stats["elements_processed"] += hits_total
+        self.stats["sequences_hit"] += distinct
         if len(q_idx) == 0:
             return []
+        t0 = time.perf_counter()
         qg = q_sel[q_idx]  # global query row in `queries`
         keepm = votes >= cfg["num_min_matches"]
+        # header_id 0 marks padding/dropped rows (sharded keep-in-place
+        # stores); real rows always have hid >= 1
+        keepm &= store.header_id[cand] > 0
         msl = cfg["min_store_length"]
         q_hid = queries.header_id[qg]
         c_hid = store.header_id[cand]
@@ -681,45 +1061,44 @@ class TpuOverlapper:
         score, raw, edges = self.score_pairs(queries, store, qg, cand)
         acc = score >= cfg["threshold"]
         self.stats["matches_processed"] += int(acc.sum())
-        return self._format(queries, store, qg[acc], cand[acc],
-                            score[acc], raw[acc], edges[acc])
+        lines = self._format(queries, store, qg[acc], cand[acc],
+                             score[acc], raw[acc], edges[acc])
+        self.stats["sort_merge_time"] += time.perf_counter() - t0
+        return lines
 
     def overlap_self(self, reads: list[str], headers=None) -> list[str]:
         """Self-overlap run; returns the sorted list of M4 lines."""
         store = self.sketch_reads(reads, headers)
-        postings = self.build_postings(store)
+        index = self._build_index(store)
         q_sel = np.nonzero(store.is_fwd)[0]
-        return sorted(self._find_matches(store, postings, store, q_sel, True))
+        return sorted(self._find_matches(store, index, store, q_sel, True))
 
     def overlap_query(self, box_reads: list[str], query_reads: list[str],
                       no_self: bool = False) -> list[str]:
         """Box-vs-query run (MhapMain usage 1 with -q)."""
         box = self.sketch_reads(box_reads)
-        postings = self.build_postings(box)
+        index = self._build_index(box)
         lines = []
         if not no_self:
             q_sel = np.nonzero(box.is_fwd)[0]
-            lines += self._find_matches(box, postings, box, q_sel, True)
-        n_box = len(box) // 2
+            lines += self._find_matches(box, index, box, q_sel, True)
+        n_box = box.n_real // 2
         queries = self.sketch_reads(query_reads, offset=n_box, do_rc=False)
         q_sel = np.arange(len(queries))
-        lines += self._find_matches(box, postings, queries, q_sel, False)
+        lines += self._find_matches(box, index, queries, q_sel, False)
         return sorted(lines)
 
 
 import os
 
-# MHAP_TPU_MINHASH=pallas selects the VMEM-resident pallas kernel
-# (ops/minhash_pallas.py): it compiles ~50x faster than the XLA scan but
-# currently runs slower on v5e (lane-axis reductions in mosaic); the scan
-# is the default until its block layout is tuned.
-_MINHASH_IMPL = os.environ.get("MHAP_TPU_MINHASH", "scan")
+# MHAP_TPU_MINHASH selects the min-reduce backend: "pallas" (default on
+# TPU: VMEM-resident kernel, compiles ~50x faster than the XLA scan at the
+# same runtime) or "scan" (XLA; the only option on CPU).
+_MINHASH_IMPL = os.environ.get("MHAP_TPU_MINHASH", "pallas")
 
 
 def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
     """Backend dispatch for the min-reduction kernel."""
-    import jax
-
     if (_MINHASH_IMPL == "pallas" and jax.default_backend() != "cpu"
             and w_max <= 64 and num_hashes % 8 == 0):
         from ..ops.minhash_pallas import weighted_min_reduce_pallas
@@ -728,30 +1107,3 @@ def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
             hi, lo, w, active, tiebreak, num_hashes=num_hashes, w_max=w_max)
     return _minhash.weighted_min_reduce(
         hi, lo, w, active, tiebreak, num_hashes=num_hashes, w_max=w_max)
-
-
-# jitted helper: minhash + per-read max weight in one device call
-_MINHASH_CACHE: dict = {}
-
-
-def _sketch_minhash_with_maxw(hi, lo, valid, num_hashes: int, w_cap: int):
-    import jax
-
-    key = (num_hashes, w_cap, hi.shape)
-    fn = _MINHASH_CACHE.get(key)
-    if fn is None:
-        def impl(hi, lo, valid):
-            g = _minhash.sort_and_count(hi, lo, valid)
-            w = jnp.where(g["first"], g["count"], 0)
-            active = g["first"] & (w > 0)
-            n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
-            max_w = jnp.max(jnp.where(active, w, 0), axis=1)
-            wc = jnp.minimum(w, w_cap)
-            sketch = _min_reduce(
-                g["hi"], g["lo"], wc, active, g["tiebreak"],
-                num_hashes=num_hashes, w_max=w_cap)
-            return sketch, n_valid, max_w
-
-        fn = jax.jit(impl)
-        _MINHASH_CACHE[key] = fn
-    return fn(hi, lo, valid)
