@@ -114,6 +114,34 @@ class ShardedOverlapper(TpuOverlapper):
                 f"mesh size {self.D}")
         self._stages: dict = {}
         self._sharding = NamedSharding(mesh, P(axis))
+        self._rep_sharding = NamedSharding(mesh, P())
+        # multi-process (one controller per host): route readbacks through
+        # a replicating jit and transfers through global-array constructors
+        self._multiprocess = jax.process_count() > 1
+        self._replicate = jax.jit(lambda a: a,
+                                  out_shardings=self._rep_sharding)
+
+    def _host_arr(self, x) -> np.ndarray:
+        if self._multiprocess:
+            x = self._replicate(x)
+        return np.asarray(x)
+
+    def _put_rep(self, x: np.ndarray):
+        """Replicated global array from identical per-process host data."""
+        return jax.device_put(x, self._rep_sharding)
+
+    def _put_sharded(self, x: np.ndarray):
+        """Row-shard identical per-process host data over the mesh."""
+        if not self._multiprocess:
+            return jax.device_put(x, self._sharding)
+        from jax.experimental import multihost_utils
+
+        n = x.shape[0]
+        pc = jax.process_count()
+        pid = jax.process_index()
+        local = x[pid * n // pc:(pid + 1) * n // pc]
+        return multihost_utils.host_local_array_to_global_array(
+            local, self.mesh, P(self.axis))
 
     # ---------------- sketch dispatch ----------------
 
@@ -123,8 +151,8 @@ class ShardedOverlapper(TpuOverlapper):
 
     def _sketch_chunk(self, handle, s, cap, R):
         packed, lens = handle
-        pk = jax.device_put(packed[s:s + R], self._sharding)
-        ln = jax.device_put(lens[s:s + R], self._sharding)
+        pk = self._put_sharded(packed[s:s + R])
+        ln = self._put_sharded(lens[s:s + R])
         return self._sketch_stage(packed.shape[1], cap)(pk, ln)
 
     def _sketch_stage(self, L4: int, cap: int):
@@ -146,11 +174,26 @@ class ShardedOverlapper(TpuOverlapper):
             self._stages[key] = fn = f
         return fn
 
-    def _sketch_chunk_u8(self, sub_d, sl_d, cap):
-        # irregular rows (non-ACGT): tiny; replicate-and-slice shard_map
-        # would be overkill -- run on the default device and let the chunk
-        # concat reshard
-        return super()._sketch_chunk_u8(sub_d, sl_d, cap)
+    def _sketch_chunk_u8(self, sub, sl, cap):
+        # irregular rows (non-ACGT): same stage without the 2-bit decode
+        pk = self._put_sharded(sub)
+        ln = self._put_sharded(sl)
+        key = ("sketch_u8", sub.shape[1], cap)
+        fn = self._stages.get(key)
+        if fn is None:
+            cfg = self.cfg
+            k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
+            H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(self.axis), P(self.axis)),
+                     out_specs=P(self.axis), check_vma=False)
+            def f(pk, ln):
+                return _sketch_core(pk, ln, k1, k2, H, S, cap)
+
+            self._stages[key] = fn = f
+        return fn(pk, ln)
 
     def _finalize_store(self, entries, do_rc, mh_valid, select_row):
         """Keep-in-place store: all chunk rows (including padding and
@@ -254,15 +297,15 @@ class ShardedOverlapper(TpuOverlapper):
             rows = np.zeros(QC, np.int32)
             rows[:e - s] = q_sel[s:e]
             if self_mode:
-                q_in = jnp.asarray(rows)
+                q_in = self._put_rep(rows)
             else:
                 q_in = self._gather_rows_jit(
-                    queries.dev("minhash"), jnp.asarray(rows))
+                    queries.dev("minhash"), self._put_rep(rows))
             done = False
             for span_cap, top_k in ((32, 96), (128, 256)):
                 K = min(top_k, N)
                 fn = self._vote_stage(N, QC, span_cap, K, mm, self_mode)
-                packed = np.asarray(fn(*handle, q_in))[:e - s]
+                packed = self._host_arr(fn(*handle, q_in))[:e - s]
                 cand = packed[:, :K]
                 votes = packed[:, K:2 * K]
                 overflow = packed[:, 2 * K]
@@ -277,6 +320,11 @@ class ShardedOverlapper(TpuOverlapper):
                     done = True
                     break
             if not done:
+                if self._multiprocess:
+                    raise RuntimeError(
+                        "vote capacity ladder exhausted in multi-process "
+                        "mode (host fallback needs a single controller); "
+                        "raise span_cap/top_k")
                 if host_mh is None:
                     host_mh = queries.minhash[q_sel]
                 postings = getattr(store, "_host_postings", None)
@@ -384,8 +432,9 @@ class ShardedOverlapper(TpuOverlapper):
             cc_p = np.zeros(Pc, np.int32)
             qq_p[:e - s] = qq[s:e]
             cc_p[:e - s] = cc[s:e]
-            packed = np.asarray(fn(*q_cols, *c_cols, jnp.asarray(qq_p),
-                                   jnp.asarray(cc_p)))[:, :e - s]
+            packed = self._host_arr(fn(*q_cols, *c_cols,
+                                       self._put_rep(qq_p),
+                                       self._put_rep(cc_p)))[:, :e - s]
             outs.append(packed)
         packed = np.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
         return {n: packed[i] for i, n in enumerate(names)}
@@ -451,7 +500,7 @@ class ShardedOverlapper(TpuOverlapper):
         fn = self._gather_stage(len(store), n_pad)
         cols = tuple(store.dev(c) for c in ("ordered_h", "ordered_p",
                                             "ordered_m", "num_kmers"))
-        packed = np.asarray(fn(*cols, jnp.asarray(r)))[:n]
+        packed = np.asarray(fn(*cols, self._put_rep(r)))[:n]
         S = (packed.shape[1] - 2) // 2
         return (packed[:, :S], packed[:, S:2 * S], packed[:, 2 * S],
                 packed[:, 2 * S + 1])

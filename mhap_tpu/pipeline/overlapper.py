@@ -451,6 +451,11 @@ class TpuOverlapper:
 
     # -- dispatch hooks (ShardedOverlapper re-targets these to shard_map) --
 
+    def _host_arr(self, x) -> np.ndarray:
+        """Materialize a device array on the host (the multi-process
+        sharded subclass routes this through a replicating jit)."""
+        return np.asarray(x)
+
     def _push_bucket(self, packed: np.ndarray, lens: np.ndarray):
         """Move one packed bucket to the accelerator (handle is opaque to
         the caller; the sharded subclass defers the transfer per chunk)."""
@@ -463,9 +468,10 @@ class TpuOverlapper:
                                   cfg["num_hashes"],
                                   cfg["ordered_sketch_size"], cap, R)
 
-    def _sketch_chunk_u8(self, sub_d, sl_d, cap: int):
+    def _sketch_chunk_u8(self, sub, sl, cap: int):
         cfg = self.cfg
-        o = _sketch_fused_jit(sub_d, sl_d, cfg["kmer_size"],
+        o = _sketch_fused_jit(jnp.asarray(sub), jnp.asarray(sl),
+                              cfg["kmer_size"],
                               cfg["ordered_kmer_size"], cfg["num_hashes"],
                               cfg["ordered_sketch_size"], cap)
         return dict(zip(("minhash", "n_valid", "max_w", "ordered_h",
@@ -569,19 +575,18 @@ class TpuOverlapper:
                 sub[:ni] = codes[irr_rows]
                 sl = np.zeros(ni_pad, np.int32)
                 sl[:ni] = lens[irr_rows]
-                sub_d, sl_d = jnp.asarray(sub), jnp.asarray(sl)
-                out = self._sketch_chunk_u8(sub_d, sl_d, self.w_caps[0])
+                out = self._sketch_chunk_u8(sub, sl, self.w_caps[0])
                 ridx = np.full(ni_pad, -1, np.int64)
                 ridx[:ni] = row_idx[irr_rows]
                 chunks.append(dict(
                     out=out, idxs=ridx,
-                    redo=lambda cap, sub_d=sub_d, sl_d=sl_d:
-                        self._sketch_chunk_u8(sub_d, sl_d, cap)))
+                    redo=lambda cap, sub=sub, sl=sl:
+                        self._sketch_chunk_u8(sub, sl, cap)))
 
         # one readback: (n_valid, max_w) for every chunk row (the eager
         # concat/stack are device-side dispatches, not transfers)
         if chunks:
-            flags = np.asarray(jnp.stack([
+            flags = self._host_arr(jnp.stack([
                 jnp.concatenate([c["out"]["n_valid"] for c in chunks]),
                 jnp.concatenate([c["out"]["max_w"] for c in chunks])]))
             nv_all, mw_all = flags[0], flags[1]
