@@ -2,20 +2,30 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: self-overlap of synthetic noisy long reads (PacBio-like error
-profile, ~11%) tiling a random genome, MHAP default settings (k=16,
-512 min-hashes, 1536-entry ordered sketch, threshold 0.78) — the same
-computation as `java -jar mhap.jar -s reads.fa` (reference
-main/MhapMain.java defaults).
+Primary workload: self-overlap of 1024 synthetic noisy long reads
+(PacBio-like error profile, ~11%) tiling a random genome, MHAP default
+settings (k=16, 512 min-hashes, 1536-entry ordered sketch, threshold
+0.78) -- the same computation as `java -jar mhap.jar -s reads.fa`
+(reference main/MhapMain.java defaults).
 
 value        = reads overlapped per second, end-to-end (sketch + LSH vote +
                second-stage scoring + formatting), steady-state (2nd run;
                the 1st run pays XLA compiles).
 vs_baseline  = value / baseline reads/s from bench_baseline.json.  The
-               baseline is the bit-exact CPU oracle pipeline measured on
-               this host (the reference jar cannot run here: no JVM in the
-               image); it is a conservative stand-in for the Java
-               reference, labeled in the JSON.
+               baseline is native/mhap_cpu.cc: a multithreaded C++ port of
+               the reference pipeline on all host cores, at the SAME
+               problem size (no JVM exists in the image; the C++ port is
+               parity-tested against the oracle and the device pipeline).
+
+Additional named configs (detail.configs; BASELINE.md config shapes):
+  lognormal10k -- 10,000 reads, ONT-like lognormal length distribution,
+                  ~25x coverage, default settings; plus EstimateROC
+                  sensitivity/specificity/PPV against the known synthetic
+                  truth placements.
+  filtered2k   -- 2,048 reads over a repeat-seeded genome with a k-mer
+                  frequency filter file (tf-idf weighting path,
+                  sketch/FrequencyCounts.java semantics).
+Run one config alone with `python bench.py --config lognormal10k`.
 """
 
 import json
@@ -63,6 +73,160 @@ def make_reads(n_reads=N_READS, read_len=READ_LEN, genome_len=GENOME_LEN,
         arr = np.asarray(out[:read_len], dtype=np.int64)
         reads.append(bytes(bases[arr]).decode("ascii"))
     return reads
+
+
+def make_reads_placed(n_reads, seed, coverage=25.0, lognormal=True,
+                      genome=None, genome_len=None):
+    """Noisy reads with known genome placements (for EstimateROC truth).
+
+    Returns (reads, placements [(start, end)], genome_len)."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    if lognormal:
+        lens = np.clip(rng.lognormal(np.log(1400), 0.45, n_reads),
+                       500, 9000).astype(int)
+    else:
+        lens = np.full(n_reads, READ_LEN)
+    if genome is None:
+        genome_len = genome_len or int(lens.sum() / coverage)
+        genome = rng.integers(0, 4, genome_len + 12000)
+    else:
+        genome_len = genome_len or (len(genome) - 12000)
+    reads, placements = [], []
+    for L in lens:
+        pos = int(rng.integers(0, genome_len))
+        raw = genome[pos:pos + int(L * 1.15)]
+        r = rng.random(len(raw))
+        out = []
+        consumed = 0
+        for i in range(len(raw)):
+            if r[i] < ERR * 0.4:
+                out.append(raw[i])
+                out.append(rng.integers(0, 4))
+            elif r[i] < ERR * 0.7:
+                pass
+            elif r[i] < ERR:
+                out.append(rng.integers(0, 4))
+            else:
+                out.append(raw[i])
+            consumed = i + 1
+            if len(out) >= L:
+                break
+        arr = np.asarray(out[:L], dtype=np.int64)
+        reads.append(bytes(bases[arr]).decode("ascii"))
+        placements.append((pos, pos + consumed))
+    return reads, placements, genome_len
+
+
+def repeat_seeded_genome(genome_len, seed, repeat_len=2000, n_copies=40):
+    """Random genome with an implanted repeat family (makes the tf-idf
+    filter path meaningful)."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, genome_len + 12000)
+    repeat = rng.integers(0, 4, repeat_len)
+    for _ in range(n_copies):
+        pos = int(rng.integers(0, genome_len - repeat_len))
+        genome[pos:pos + repeat_len] = repeat
+    return genome
+
+
+def write_filter_file(genome, k, path, cutoff=1e-5, top=4000):
+    """k-mer frequency file (sketch/FrequencyCounts.java input format:
+    header 'bloomSize repeatCount', rows 'KMER fraction')."""
+    from collections import Counter
+
+    bases = "ACGT"
+    s = "".join(bases[int(b)] for b in genome)
+    total = len(s) - k + 1
+    counts = Counter(s[i:i + k] for i in range(total))
+    rows = [(km, c / total) for km, c in counts.most_common(top)
+            if c / total >= cutoff]
+    with open(path, "w") as f:
+        f.write(f"{len(rows)} {len(rows)}\n")
+        for km, frac in rows:
+            f.write(f"{km} {frac:.10g}\n")
+    return len(rows)
+
+
+def write_truth_m4(placements, reads, path, genome_len):
+    """BLASR M4 truth mapping (read -> genome placement) for EstimateROC."""
+    with open(path, "w") as f:
+        for i, ((s, e), r) in enumerate(zip(placements, reads)):
+            f.write(f"{i + 1} genome -{e - s} 95.0 0 0 {len(r)} {len(r)} "
+                    f"0 {s} {e} {genome_len}\n")
+
+
+def bench_config_lognormal(n_reads=10_000):
+    """10k-read lognormal config + EstimateROC vs synthetic truth."""
+    import tempfile
+
+    from mhap_tpu.pipeline.overlapper import TpuOverlapper
+    from mhap_tpu.tools.estimate_roc import EstimateROC
+
+    reads, placements, glen = make_reads_placed(n_reads, seed=SEED + 1)
+    ov = TpuOverlapper()
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    steady = time.perf_counter() - t0
+
+    with tempfile.TemporaryDirectory() as td:
+        truth = os.path.join(td, "truth.m4")
+        ovls = os.path.join(td, "ovl.mhap")
+        fa = os.path.join(td, "reads.fa")
+        write_truth_m4(placements, reads, truth, glen)
+        with open(ovls, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        with open(fa, "w") as f:
+            for i, r in enumerate(reads):
+                f.write(f">{i + 1}\n{r}\n")
+        roc = EstimateROC(min_ovl_len=500, num_trials=2000)
+        roc.process_reference(truth)
+        roc.load_fasta(fa)
+        roc.process_overlaps(ovls)
+        roc.estimate_sensitivity()
+        roc.estimate_specificity()
+        roc.estimate_ppv()
+    return {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
+            "warm_s": round(warm, 1), "steady_s": round(steady, 2),
+            "overlaps": len(lines),
+            "sensitivity": round(roc.sensitivity(), 4),
+            "specificity": round(roc.specificity(), 4),
+            "ppv": round(roc.ppv, 4)}
+
+
+def bench_config_filtered(n_reads=2048):
+    """tf-idf filter-file config (FrequencyCounts weighting path)."""
+    import tempfile
+
+    from mhap_tpu.io.fasta import open_text
+    from mhap_tpu.oracle.filter import FrequencyCounts
+    from mhap_tpu.pipeline.freqfilter import VectorFrequencyFilter
+    from mhap_tpu.pipeline.overlapper import TpuOverlapper
+
+    genome_len = int(n_reads * READ_LEN / 25.0)
+    genome = repeat_seeded_genome(genome_len, seed=SEED + 2)
+    reads, _, _ = make_reads_placed(n_reads, seed=SEED + 2,
+                                    lognormal=False, genome=genome,
+                                    genome_len=genome_len)
+    with tempfile.TemporaryDirectory() as td:
+        fpath = os.path.join(td, "kmers.txt")
+        n_rows = write_filter_file(genome, 16, fpath)
+        with open_text(fpath) as f:
+            fc = FrequencyCounts(f, 1e-5, 0.9, 0, False, 3.0, True)
+    vf = VectorFrequencyFilter(fc)
+    ov = TpuOverlapper(kmer_filter=vf)
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    steady = time.perf_counter() - t0
+    return {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
+            "warm_s": round(warm, 1), "steady_s": round(steady, 2),
+            "overlaps": len(lines), "filter_kmers": n_rows}
 
 
 def bench_device(reads):
@@ -134,6 +298,13 @@ def main():
         print(json.dumps(data))
         return
 
+    if "--config" in sys.argv:
+        name = sys.argv[sys.argv.index("--config") + 1]
+        fn = {"lognormal10k": bench_config_lognormal,
+              "filtered2k": bench_config_filtered}[name]
+        print(json.dumps({name: fn()}))
+        return
+
     reads = make_reads()
     rps, n_overlaps, warm, steady = bench_device(reads)
     base = None
@@ -141,6 +312,14 @@ def main():
         with open(_BASELINE_PATH) as f:
             base = json.load(f).get("native_reads_per_s")
     vs = rps / base if base else None
+    configs = {}
+    if "--primary-only" not in sys.argv:
+        for name, fn in (("lognormal10k", bench_config_lognormal),
+                         ("filtered2k", bench_config_filtered)):
+            try:
+                configs[name] = fn()
+            except Exception as e:  # a config failure must not kill BENCH
+                configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps({
         "metric": "reads_overlapped_per_s_per_chip",
         "value": round(rps, 3),
@@ -150,7 +329,8 @@ def main():
                    "overlaps": n_overlaps, "warm_s": round(warm, 2),
                    "steady_s": round(steady, 2),
                    "baseline": "native C++ reference port, all host cores "
-                               "(see bench_baseline.json)"},
+                               "(see bench_baseline.json)",
+                   "configs": configs},
     }))
 
 

@@ -687,6 +687,10 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
     where the fast pass cannot reproduce the automaton bit-exactly (see
     _fast_pass_scan) and must be re-scored with make_score_pairs.  All
     other lanes are exact.
+
+    (A shared-hash-compacted narrow variant was measured and rejected: the
+    per-lane computed-index gathers it needs run far below lax.sort speed
+    on this backend -- see NOTES.md measured dead ends.)
     """
     m_c, s_c = fixed_point_constant(max_shift_percent)
     if cap is None:

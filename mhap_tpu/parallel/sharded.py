@@ -292,6 +292,8 @@ class ShardedOverlapper(TpuOverlapper):
         hits_total = 0
         distinct = 0
         host_mh = None
+        if not hasattr(self, "_vote_level"):
+            self._vote_level = 0
         for s in range(0, Q, QC):
             e = min(s + QC, Q)
             rows = np.zeros(QC, np.int32)
@@ -302,7 +304,8 @@ class ShardedOverlapper(TpuOverlapper):
                 q_in = self._gather_rows_jit(
                     queries.dev("minhash"), self._put_rep(rows))
             done = False
-            for span_cap, top_k in ((32, 96), (128, 256)):
+            for lvl in range(self._vote_level, len(self.VOTE_LADDER)):
+                span_cap, top_k = self.VOTE_LADDER[lvl]
                 K = min(top_k, N)
                 fn = self._vote_stage(N, QC, span_cap, K, mm, self_mode)
                 packed = self._host_arr(fn(*handle, q_in))[:e - s]
@@ -311,6 +314,7 @@ class ShardedOverlapper(TpuOverlapper):
                 overflow = packed[:, 2 * K]
                 saturated = (K < N) & (votes[:, -1] > 0)
                 if overflow.max() == 0 and not np.any(saturated):
+                    self._vote_level = lvl
                     r, c = np.nonzero(votes > 0)
                     rows_l.append(r.astype(np.int64) + s)
                     cand_l.append(cand[r, c].astype(np.int64))
@@ -448,7 +452,7 @@ class ShardedOverlapper(TpuOverlapper):
             S = self.cfg["ordered_sketch_size"]
             score_fast = _kscorer.make_score_pairs_fast(
                 self.cfg["max_shift"], S,
-                cap=min(1024, 2 * S), jit=False)
+                cap=min(512, 2 * S), jit=False)
 
             @jax.jit
             @partial(jax.shard_map, mesh=self.mesh,

@@ -74,7 +74,11 @@ def _rc_codes(codes: np.ndarray) -> np.ndarray:
 
 
 def _bucket_len(n: int, quantum: int = 256) -> int:
-    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+    """Length bucket: next power of two (>= quantum).  Pow2 snapping keeps
+    the number of compiled kernel shapes logarithmic in the read-length
+    spread (a lognormal length distribution would otherwise compile tens
+    of bucket variants) at a bounded padding cost."""
+    return max(quantum, 1 << (n - 1).bit_length())
 
 
 class SketchStore:
@@ -227,7 +231,7 @@ def _gather_cols_jit(mh, oh, op, om, pos):
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
-    def __init__(self, cfg=None, w_caps=(4, 16, 128, 512), pair_chunk: int = 2048,
+    def __init__(self, cfg=None, w_caps=(4, 16, 128, 512), pair_chunk: int = 512,
                  kmer_filter=None):
         self.cfg = dict(DEFAULTS)
         if cfg:
@@ -240,7 +244,7 @@ class TpuOverlapper:
         # exactly on the host oracle via needs_slow
         self._score_fast = _kscorer.make_score_pairs_fast(
             self.cfg["max_shift"], self.cfg["ordered_sketch_size"],
-            cap=min(1024, 2 * self.cfg["ordered_sketch_size"]))
+            cap=min(512, 2 * self.cfg["ordered_sketch_size"]))
         self.slow_pair_count = 0  # observability: host-oracle fallbacks
         self._gather_score_cache: dict = {}
         self.long_window = 1 << 17  # streaming window for very long reads
@@ -446,7 +450,7 @@ class TpuOverlapper:
         merged = allp[order[:m]].astype(np.int32)
         return mh, merged, L - k2 + 1
 
-    ROWS = 256  # fixed row-tile: bounds jit variants to (bucket_len,)
+    ROWS = 512  # fixed row-tile: bounds jit variants to (bucket_len,)
     D = 1       # devices (ShardedOverlapper overrides)
 
     # -- dispatch hooks (ShardedOverlapper re-targets these to shard_map) --
@@ -798,6 +802,11 @@ class TpuOverlapper:
 
     VOTE_CHUNK = 2048  # query rows per device vote dispatch (bounds the
     #                    [Qc, H, span_cap] hit expansion + sort width)
+    # (span_cap, top_k) escalation ladder; _vote_level remembers the last
+    # level that succeeded so steady-state runs pay for one dispatch per
+    # chunk (span sizes scale with coverage, so low levels overflow on
+    # every chunk of a deep dataset)
+    VOTE_LADDER = ((16, 96), (64, 192), (256, 384), (1024, 512))
 
     def _vote_dispatch(self, index, queries: "SketchStore",
                        q_sel: np.ndarray):
@@ -830,11 +839,14 @@ class TpuOverlapper:
         rows_l, cand_l, votes_l = [], [], []
         hits_total = 0
         distinct = 0
+        if not hasattr(self, "_vote_level"):
+            self._vote_level = 0
         for s in range(0, Q, QC):
             e = min(s + QC, Q)
             qc = query_mh_dev[s:e]
             done = False
-            for span_cap, top_k in ((32, 96), (128, 256)):
+            for lvl in range(self._vote_level, len(self.VOTE_LADDER)):
+                span_cap, top_k = self.VOTE_LADDER[lvl]
                 K = min(top_k, N)
                 packed = np.asarray(vote_device_packed(
                     handle[0], handle[1], qc, span_cap=span_cap,

@@ -73,9 +73,14 @@ def main():
 
     from mhap_tpu.parallel.sharded import ShardedOverlapper, make_mesh
 
+    # the reference's fast preset (--settings 2, MhapMain.java:158-177):
+    # a blessed config that keeps the CPU-mesh run tractable at 50k reads
+    CFG = dict(num_hashes=256, threshold=0.80, ordered_sketch_size=1000,
+               ordered_kmer_size=14)
     mesh = make_mesh(jax.devices())
     result["n_devices"] = int(mesh.devices.size)
-    ov = ShardedOverlapper(mesh)
+    result["config"] = "fast preset (--settings 2)"
+    ov = ShardedOverlapper(mesh, CFG, pair_chunk=8192)
     t0 = time.time()
     lines = ov.overlap_self(reads)
     dt = time.time() - t0
@@ -96,7 +101,10 @@ def main():
         binary = os.path.join(ROOT, "native", "build", "mhap_cpu")
         t0 = time.time()
         out = subprocess.run([binary, "-s", fa, "--num-threads",
-                              str(os.cpu_count())],
+                              str(os.cpu_count()),
+                              "--num-hashes", "256", "--threshold", "0.80",
+                              "--ordered-sketch-size", "1000",
+                              "--ordered-kmer-size", "14"],
                              capture_output=True, text=True, check=True)
         dtn = time.time() - t0
         native = sorted(out.stdout.strip().splitlines())
