@@ -197,7 +197,11 @@ def load_filter(o: ParseOptions):
             f, o.get("--filter-threshold").value, offset,
             o.get("--supress-noise").value, o.get("--no-tf").value,
             o.get("--repeat-idf-scale").value,
-            not o.get("--no-rc").value)
+            not o.get("--no-rc").value,
+            # reference semantics: suppress-noise modes store file k-mers
+            # in a guava BloomFilter (FrequencyCounts.java:137); the
+            # guava-compatible reimplementation keeps runs jar-comparable
+            use_bloom=True)
     print(f"Time (s) to read filter file: {time.time() - t0}",
           file=sys.stderr)
     return kf
@@ -287,7 +291,7 @@ def _load_reads(path: str, store_full_id: bool):
     return headers if store_full_id else None, reads
 
 
-def _get_overlapper(cfg, backend, kmer_filter):
+def _get_overlapper(cfg, backend, kmer_filter, num_threads=None):
     from ..pipeline.overlapper import TpuOverlapper
 
     if backend != "device":
@@ -297,7 +301,13 @@ def _get_overlapper(cfg, backend, kmer_filter):
         from ..pipeline.freqfilter import VectorFrequencyFilter
 
         vf = VectorFrequencyFilter(kmer_filter)
-    return TpuOverlapper(cfg, kmer_filter=vf)
+    ov = TpuOverlapper(cfg, kmer_filter=vf)
+    if num_threads:
+        # host-side pools (numpy BLAS-free paths are single-threaded; the
+        # thread count governs host helpers like batched SW adjudication)
+        ov.num_threads = int(num_threads)
+        os.environ.setdefault("OMP_NUM_THREADS", str(num_threads))
+    return ov
 
 
 def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
@@ -311,7 +321,8 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
     q_file = o.get("-q").value
     no_self = o.get("--no-self").value
     paf = o.get("--paf").value
-    ov = _get_overlapper(cfg, backend, kmer_filter)
+    ov = _get_overlapper(cfg, backend, kmer_filter,
+                         o.get("--num-threads").value)
 
     t0 = time.time()
     print("Processing files for storage in reverse index...",
@@ -391,26 +402,39 @@ def run_overlap(o, cfg, kmer_filter, store_full_id, do_rc, backend):
                 lines_count += write_lines(sorted(lines), out, paf)
                 offset += len(queries)
     out.flush()
-    # final stats block (MhapMain.outputFinalStat :572-590)
+    # final stats block, field-for-field with MhapMain.outputFinalStat
+    # (:572-590): same lines, same denominators (size() = number of stored
+    # sketches incl. reverse complements; divisions print inf/nan on
+    # zero-denominator runs exactly like Java doubles)
     if ov is not None:
         st = ov.stats
-        n = len(getattr(ov, "_box_store", []) or []) or n_box
-        searched = max(st["sequences_searched"], 1)
-        hit = max(st["sequences_hit"], 1)
-        compared = max(st["sequences_fully_compared"], 1)
+        size = box.n_real  # matchSearch.size(): stored sketch count
+        searched = float(st["sequences_searched"])
+        hit = float(st["sequences_hit"])
+        compared = float(st["sequences_fully_compared"])
+        matches = float(st["matches_processed"])
+
+        def jdiv(a, b):
+            if b == 0.0:
+                return float("nan") if a == 0.0 else float("inf")
+            return a / b
+
+        print("MinHash search time (s): "
+              f"{st['minhash_search_time']}", file=sys.stderr)
         print(f"Total matches found: {st['matches_processed']}",
               file=sys.stderr)
         print("Average number of matches per lookup: "
-              f"{st['matches_processed'] / searched}", file=sys.stderr)
+              f"{jdiv(matches, searched)}", file=sys.stderr)
         print("Average number of table elements processed per lookup: "
-              f"{st['elements_processed'] / searched}", file=sys.stderr)
+              f"{jdiv(st['elements_processed'], searched)}", file=sys.stderr)
+        print("Average number of table elements processed per match: "
+              f"{jdiv(st['elements_processed'], matches)}", file=sys.stderr)
         print("Average % of hashed sequences hit per lookup: "
-              f"{st['sequences_hit'] / (max(n, 1) * searched) * 100.0}",
-              file=sys.stderr)
+              f"{jdiv(hit, size * searched) * 100.0}", file=sys.stderr)
         print("Average % of hashed sequences hit that are matches: "
-              f"{st['matches_processed'] / hit * 100.0}", file=sys.stderr)
+              f"{jdiv(matches, hit) * 100.0}", file=sys.stderr)
         print("Average % of hashed sequences fully compared that are "
-              f"matches: {st['matches_processed'] / compared * 100.0}",
+              f"matches: {jdiv(matches, compared) * 100.0}",
               file=sys.stderr)
         if ov.slow_pair_count:
             print(f"Exact-automaton fallback pairs: {ov.slow_pair_count}",

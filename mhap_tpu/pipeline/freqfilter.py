@@ -37,7 +37,14 @@ class VectorFrequencyFilter:
         # scaled idf per *file* k-mer, precomputed in float64 (Java double)
         self.frac_sidf = np.asarray(
             [fc.scaled_idf(int(k)) for k in self.frac_keys], dtype=np.float64)
-        if fc.valid_mers is not None:
+        from ..oracle.filter import GuavaBloomFilter
+
+        self.valid_bloom = None
+        if isinstance(fc.valid_mers, GuavaBloomFilter):
+            # strict-parity bloom mode: probe the guava-compatible filter
+            self.valid_bloom = fc.valid_mers
+            self.valid_keys = None
+        elif fc.valid_mers is not None:
             self.valid_keys = np.sort(np.fromiter(
                 fc.valid_mers, dtype=np.uint64, count=len(fc.valid_mers)))
         else:
@@ -50,10 +57,16 @@ class VectorFrequencyFilter:
         idx_c = np.minimum(idx, len(table) - 1)
         return table[idx_c] == h
 
+    def _valid_member(self, h: np.ndarray) -> np.ndarray:
+        if self.valid_bloom is not None:
+            return self.valid_bloom.contains_vec(h.reshape(-1)).reshape(
+                h.shape)
+        return self._member(self.valid_keys, h)
+
     def keep_mask(self, h: np.ndarray) -> np.ndarray:
         """keepKmer (FrequencyCounts.java:272-278) vectorized."""
         if self.remove_unique == 1:
-            return self._member(self.valid_keys, h)
+            return self._valid_member(h)
         return np.ones(h.shape, bool)
 
     def is_popular(self, h: np.ndarray) -> np.ndarray:
@@ -67,8 +80,9 @@ class VectorFrequencyFilter:
             idx_c = np.minimum(idx, len(self.frac_keys) - 1)
             found = self.frac_keys[idx_c] == h
             out[found] = self.frac_sidf[idx_c[found]]
-        if self.remove_unique == 2 and self.valid_keys is not None:
-            out[~self._member(self.valid_keys, h)] = 1.0
+        if self.remove_unique == 2 and (self.valid_keys is not None or
+                                        self.valid_bloom is not None):
+            out[~self._valid_member(h)] = 1.0
         return out
 
     def weights(self, keys: np.ndarray, counts: np.ndarray,

@@ -89,3 +89,55 @@ def test_vector_filter_matches_oracle_pointwise(synthetic_reads):
     for h in keys[:50]:
         assert vf.keep_mask(np.asarray([h], np.uint64))[0] == fc.keep_kmer(int(h))
         assert vf.is_popular(np.asarray([h], np.uint64))[0] == fc.is_popular(int(h))
+
+
+def test_guava_bloom_matches_exact_set_on_wellsized_filter():
+    """With reference sizing (1e-5 FPP) the bloom-backed filter behaves
+    identically to the exact set on any realistic input; an undersized
+    bloom shows the guava false-positive behavior exists."""
+    import numpy as np
+
+    from mhap_tpu.oracle.filter import FrequencyCounts, GuavaBloomFilter
+
+    rng0 = np.random.default_rng(42)
+    kmers = ["".join("ACGT"[b] for b in rng0.integers(0, 4, 16))
+             for _ in range(300)]
+    lines = [f"{len(kmers)} {len(kmers)}"] + \
+        [f"{k} 0.01" for k in kmers]
+    exact = FrequencyCounts(iter(lines), 1e-5, 0.0, 1, False, 3.0, True)
+    bloom = FrequencyCounts(iter(lines), 1e-5, 0.0, 1, False, 3.0, True,
+                            use_bloom=True)
+    from mhap_tpu.oracle.filter import kmer_string_hash
+
+    for k in kmers:
+        h = kmer_string_hash(k, True)
+        assert exact.keep_kmer(h) and bloom.keep_kmer(h)
+    rng = np.random.default_rng(0)
+    for h in rng.integers(0, 2**63, 500).tolist():
+        assert exact.keep_kmer(h) == bloom.keep_kmer(h)
+
+    # undersized bloom (expected=1 for 3 inserts + k probes) -> some
+    # false positives must appear among random probes
+    bf = GuavaBloomFilter(1, 0.5)
+    for k in kmers:
+        bf.add(kmer_string_hash(k, True))
+    fp = sum(1 for h in rng.integers(0, 2**63, 2000).tolist() if h in bf)
+    assert fp > 0
+
+
+def test_guava_bloom_vectorized_matches_scalar():
+    import numpy as np
+
+    from mhap_tpu.oracle.filter import GuavaBloomFilter
+
+    rng = np.random.default_rng(3)
+    bf = GuavaBloomFilter(100, 1e-5)
+    keys = rng.integers(0, 2**63, 100, dtype=np.int64)
+    for k in keys.tolist():
+        bf.add(k)
+    probes = np.concatenate([keys[:50], rng.integers(0, 2**63, 200,
+                                                     dtype=np.int64)])
+    vec = bf.contains_vec(probes.astype(np.uint64))
+    for i, p in enumerate(probes.tolist()):
+        assert vec[i] == (p in bf)
+    assert vec[:50].all()
