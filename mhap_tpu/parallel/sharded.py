@@ -286,67 +286,69 @@ class ShardedOverlapper(TpuOverlapper):
         N = len(store)
         self_mode = queries is store
         Q = len(q_sel)
-        QC = max(self.VOTE_CHUNK, self.D)
-        QC = ((QC + self.D - 1) // self.D) * self.D
-        rows_l, cand_l, votes_l = [], [], []
-        hits_total = 0
-        distinct = 0
-        host_mh = None
+        acc = dict(rows=[], cand=[], votes=[], hits=0, distinct=0)
         if not hasattr(self, "_vote_level"):
             self._vote_level = 0
-        for s in range(0, Q, QC):
-            e = min(s + QC, Q)
-            rows = np.zeros(QC, np.int32)
-            rows[:e - s] = q_sel[s:e]
-            if self_mode:
-                q_in = self._put_rep(rows)
-            else:
-                q_in = self._gather_rows_jit(
-                    queries.dev("minhash"), self._put_rep(rows))
-            done = False
-            for lvl in range(self._vote_level, len(self.VOTE_LADDER)):
-                span_cap, top_k = self.VOTE_LADDER[lvl]
-                K = min(top_k, N)
-                fn = self._vote_stage(N, QC, span_cap, K, mm, self_mode)
-                packed = self._host_arr(fn(*handle, q_in))[:e - s]
+
+        def host_fallback(s, e):
+            if self._multiprocess:
+                raise RuntimeError(
+                    "vote capacity ladder exhausted in multi-process mode "
+                    "(host fallback needs a single controller); raise "
+                    "span_cap/top_k")
+            postings = getattr(store, "_host_postings", None)
+            if postings is None:
+                postings = self.build_postings(store)
+                store._host_postings = postings
+            qi, ci, vi = self.vote(postings, queries.minhash[q_sel][s:e])
+            acc["hits"] += int(vi.sum())
+            acc["distinct"] += len(qi)
+            keep = vi >= mm
+            acc["rows"].append(qi[keep] + s)
+            acc["cand"].append(ci[keep])
+            acc["votes"].append(vi[keep])
+
+        def run_range(s, e, lvl):
+            if lvl >= len(self.VOTE_LADDER):
+                host_fallback(s, e)
+                return
+            span_cap, top_k = self.VOTE_LADDER[lvl]
+            QC = max(64, min(self.VOTE_CHUNK,
+                             (self.VOTE_CHUNK * 32) // span_cap))
+            QC = ((QC + self.D - 1) // self.D) * self.D
+            K = min(top_k, N)
+            fn = self._vote_stage(N, QC, span_cap, K, mm, self_mode)
+            for cs in range(s, e, QC):
+                ce = min(cs + QC, e)
+                rows = np.zeros(QC, np.int32)
+                rows[:ce - cs] = q_sel[cs:ce]
+                if self_mode:
+                    q_in = self._put_rep(rows)
+                else:
+                    q_in = self._gather_rows_jit(
+                        queries.dev("minhash"), self._put_rep(rows))
+                packed = self._host_arr(fn(*handle, q_in))[:ce - cs]
                 cand = packed[:, :K]
                 votes = packed[:, K:2 * K]
                 overflow = packed[:, 2 * K]
                 saturated = (K < N) & (votes[:, -1] > 0)
-                if overflow.max() == 0 and not np.any(saturated):
-                    self._vote_level = lvl
-                    r, c = np.nonzero(votes > 0)
-                    rows_l.append(r.astype(np.int64) + s)
-                    cand_l.append(cand[r, c].astype(np.int64))
-                    votes_l.append(votes[r, c].astype(np.int64))
-                    hits_total += int(packed[:, 2 * K + 1].sum())
-                    distinct += int(packed[:, 2 * K + 2].sum())
-                    done = True
-                    break
-            if not done:
-                if self._multiprocess:
-                    raise RuntimeError(
-                        "vote capacity ladder exhausted in multi-process "
-                        "mode (host fallback needs a single controller); "
-                        "raise span_cap/top_k")
-                if host_mh is None:
-                    host_mh = queries.minhash[q_sel]
-                postings = getattr(store, "_host_postings", None)
-                if postings is None:
-                    postings = self.build_postings(store)
-                    store._host_postings = postings
-                qi, ci, vi = self.vote(postings, host_mh[s:e])
-                hits_total += int(vi.sum())
-                distinct += len(qi)
-                keep = vi >= mm
-                rows_l.append(qi[keep] + s)
-                cand_l.append(ci[keep])
-                votes_l.append(vi[keep])
-        if not rows_l:
+                if overflow.max() > 0 or np.any(saturated):
+                    run_range(cs, ce, lvl + 1)
+                    continue
+                self._vote_level = lvl
+                r, c = np.nonzero(votes > 0)
+                acc["rows"].append(r.astype(np.int64) + cs)
+                acc["cand"].append(cand[r, c].astype(np.int64))
+                acc["votes"].append(votes[r, c].astype(np.int64))
+                acc["hits"] += int(packed[:, 2 * K + 1].sum())
+                acc["distinct"] += int(packed[:, 2 * K + 2].sum())
+
+        run_range(0, Q, self._vote_level)
+        if not acc["rows"]:
             z = np.zeros(0, np.int64)
-            return z, z, z, hits_total, distinct
-        return (np.concatenate(rows_l), np.concatenate(cand_l),
-                np.concatenate(votes_l), hits_total, distinct)
+            return z, z, z, acc["hits"], acc["distinct"]
+        return (np.concatenate(acc["rows"]), np.concatenate(acc["cand"]),
+                np.concatenate(acc["votes"]), acc["hits"], acc["distinct"])
 
     def _vote_stage(self, N, QC, span_cap, K, mm, self_mode):
         key = ("vote", N, QC, span_cap, K, mm, self_mode)

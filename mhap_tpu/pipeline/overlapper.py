@@ -831,59 +831,69 @@ class TpuOverlapper:
 
         query_mh_dev = self._gather_rows_jit(
             queries.dev("minhash"), jnp.asarray(q_sel.astype(np.int32)))
-        query_mh_host_fn = lambda: queries.minhash[q_sel]
         N = len(store)
         Q = int(query_mh_dev.shape[0])
-        QC = self.VOTE_CHUNK
-        host_mh = None
-        rows_l, cand_l, votes_l = [], [], []
-        hits_total = 0
-        distinct = 0
+        acc = dict(rows=[], cand=[], votes=[], hits=0, distinct=0)
         if not hasattr(self, "_vote_level"):
             self._vote_level = 0
-        for s in range(0, Q, QC):
-            e = min(s + QC, Q)
-            qc = query_mh_dev[s:e]
-            done = False
-            for lvl in range(self._vote_level, len(self.VOTE_LADDER)):
-                span_cap, top_k = self.VOTE_LADDER[lvl]
-                K = min(top_k, N)
+
+        def host_fallback(s, e):
+            # exact host vote for a stubborn range
+            postings = getattr(store, "_host_postings", None)
+            if postings is None:
+                postings = self.build_postings(store)
+                store._host_postings = postings
+            qi, ci, vi = self.vote(postings, queries.minhash[q_sel][s:e])
+            acc["hits"] += int(vi.sum())
+            acc["distinct"] += len(qi)
+            keep = vi >= mm
+            acc["rows"].append(qi[keep] + s)
+            acc["cand"].append(ci[keep])
+            acc["votes"].append(vi[keep])
+
+        def run_range(s, e, lvl):
+            """Vote [s, e) at ladder level lvl, escalating sub-chunks that
+            overflow; the query chunk shrinks as span_cap grows so the
+            [QC, H, span_cap] hit buffer stays roughly constant."""
+            if lvl >= len(self.VOTE_LADDER):
+                host_fallback(s, e)
+                return
+            span_cap, top_k = self.VOTE_LADDER[lvl]
+            QC = max(64, min(self.VOTE_CHUNK,
+                             (self.VOTE_CHUNK * 32) // span_cap))
+            K = min(top_k, N)
+            for cs in range(s, e, QC):
+                ce = min(cs + QC, e)
+                # pad partial chunks to QC (bounds compile variants)
+                qc = query_mh_dev[cs:ce]
+                if ce - cs < QC:
+                    qc = jnp.pad(qc, ((0, QC - (ce - cs)), (0, 0)))
                 packed = np.asarray(vote_device_packed(
-                    handle[0], handle[1], qc, span_cap=span_cap,
-                    top_k=K, min_matches=mm))[:e - s]
+                    handle[0], handle[1], qc,
+                    span_cap=span_cap, top_k=K,
+                    min_matches=mm))[:ce - cs]
                 cand = packed[:, :K]
                 votes = packed[:, K:2 * K]
                 overflow = packed[:, 2 * K]
                 saturated = (K < N) & (votes[:, -1] > 0)
-                if overflow.max() == 0 and not np.any(saturated):
-                    r, c = np.nonzero(votes > 0)
-                    rows_l.append(r.astype(np.int64) + s)
-                    cand_l.append(cand[r, c].astype(np.int64))
-                    votes_l.append(votes[r, c].astype(np.int64))
-                    hits_total += int(packed[:, 2 * K + 1].sum())
-                    distinct += int(packed[:, 2 * K + 2].sum())
-                    done = True
-                    break
-            if not done:
-                # exact host fallback for this chunk
-                if host_mh is None:
-                    host_mh = query_mh_host_fn()
-                postings = getattr(store, "_host_postings", None)
-                if postings is None:
-                    postings = self.build_postings(store)
-                    store._host_postings = postings
-                qi, ci, vi = self.vote(postings, host_mh[s:e])
-                hits_total += int(vi.sum())
-                distinct += len(qi)
-                keep = vi >= mm
-                rows_l.append(qi[keep] + s)
-                cand_l.append(ci[keep])
-                votes_l.append(vi[keep])
-        if not rows_l:
+                if overflow.max() > 0 or np.any(saturated):
+                    run_range(cs, ce, lvl + 1)
+                    continue
+                self._vote_level = lvl  # sticky: start here next time
+                r, c = np.nonzero(votes > 0)
+                acc["rows"].append(r.astype(np.int64) + cs)
+                acc["cand"].append(cand[r, c].astype(np.int64))
+                acc["votes"].append(votes[r, c].astype(np.int64))
+                acc["hits"] += int(packed[:, 2 * K + 1].sum())
+                acc["distinct"] += int(packed[:, 2 * K + 2].sum())
+
+        run_range(0, Q, self._vote_level)
+        if not acc["rows"]:
             z = np.zeros(0, np.int64)
-            return z, z, z, hits_total, distinct
-        return (np.concatenate(rows_l), np.concatenate(cand_l),
-                np.concatenate(votes_l), hits_total, distinct)
+            return z, z, z, acc["hits"], acc["distinct"]
+        order_rows = np.concatenate(acc["rows"])
+        return (order_rows, np.concatenate(acc["cand"]),
+                np.concatenate(acc["votes"]), acc["hits"], acc["distinct"])
 
     # ---------------- pair scoring ----------------
 

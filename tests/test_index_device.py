@@ -62,3 +62,28 @@ def test_pipeline_device_vote_parity(synthetic_reads):
     ov.device_vote = True
     got = ov.overlap_self(sub)
     assert got == want
+
+
+def test_vote_ladder_escalation_repeats(synthetic_reads):
+    """Repeat-heavy reads force big postings spans; the recursive
+    escalation ladder (shrinking query chunks, growing span caps) must
+    still produce the exact host-vote result set."""
+    import numpy as np
+
+    from mhap_tpu.oracle import pipeline as op
+
+    genome, reads, positions = synthetic_reads
+    # implant a shared repeat into every read so one minmer bucket spans
+    # most of the store
+    motif = reads[0][100:400]
+    rep_reads = [r[:500] + motif + r[500:1100] for r in reads[:10]]
+    cfg = dict(op.DEFAULTS, num_hashes=64, ordered_sketch_size=256,
+               num_min_matches=2)
+    ov = TpuOverlapper(cfg)
+    ov.device_vote = True
+    ov.VOTE_LADDER = ((2, 4), (4, 8), (8, 16))  # tiny caps -> escalate
+    ov.VOTE_CHUNK = 8
+    got = sorted(ov.overlap_self(rep_reads))
+    want = op.overlap_self(rep_reads, cfg)
+    assert got == want
+    assert len(got) > 0
