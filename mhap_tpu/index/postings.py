@@ -74,8 +74,10 @@ def vote_device_packed(post_vals, post_sids, query_mh, *, span_cap: int = 16,
     idx = left[:, :, None] + offs[None, None, :]
     hit_ok = offs[None, None, :] < jnp.minimum(cnt, span_cap)[:, :, None]
     idx = jnp.clip(idx, 0, N - 1)
-    cand = jnp.take_along_axis(
-        jnp.broadcast_to(post_sids[None], (Q, H, N)), idx, axis=2)
+    # per-band gather (a broadcast_to (Q,H,N) + take_along_axis here can
+    # materialize an O(Q*H*N) temp -- 16GB at 4k reads)
+    cand = jax.vmap(lambda srow, irow: srow[irow],
+                    in_axes=(0, 1), out_axes=1)(post_sids, idx)
     cand = jnp.where(hit_ok, cand, N)  # N = sentinel (sorts last)
 
     # vote counting: sort hits per query, run-length the candidate ids

@@ -931,36 +931,50 @@ class TpuOverlapper:
         return (packed[:, :S], packed[:, S:2 * S], packed[:, 2 * S],
                 packed[:, 2 * S + 1])
 
+    # max scorer lanes per dispatch: bounds the [lanes, 2S]-wide scan
+    # intermediates (repeat-heavy datasets can produce hundreds of
+    # thousands of candidate pairs)
+    SCORE_DISPATCH_MAX = 16384
+
     def _score_dispatch(self, qs, cs, qq, cc):
-        """Gather+score fully on device in ONE dispatch; outputs packed
-        into a single array so the readback is one transfer."""
+        """Gather+score on device, chunked to SCORE_DISPATCH_MAX lanes;
+        outputs packed into a single array per chunk so each readback is
+        one transfer (typical runs are a single dispatch)."""
         q_dev = self._dev_store(qs)
         c_dev = self._dev_store(cs) if cs is not qs else q_dev
         T = len(qq)
         P = self.pair_chunk
-        T_pad = max(P, ((T + P - 1) // P) * P)
-        qq_p = np.zeros(T_pad, np.int32)
-        cc_p = np.zeros(T_pad, np.int32)
-        qq_p[:T] = qq
-        cc_p[:T] = cc
-        key = (q_dev[0].shape[0], c_dev[0].shape[0], T_pad)
-        gf = self._gather_score_cache.get(key)
-        if gf is None:
-            fn = self._score_fast
-            keys = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1",
-                    "b2", "needs_slow")
-
-            def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
-                out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
-                         coh[ci], cop[ci], com[ci], cnk[ci])
-                return jnp.stack([out[k].astype(jnp.int32) for k in keys])
-
-            gf = jax.jit(impl)
-            self._gather_score_cache[key] = gf
-        packed = np.asarray(gf(*q_dev, *c_dev, jnp.asarray(qq_p),
-                               jnp.asarray(cc_p)))[:, :T]
         names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2",
                  "needs_slow")
+
+        def run(qq_p, cc_p):
+            key = (q_dev[0].shape[0], c_dev[0].shape[0], len(qq_p))
+            gf = self._gather_score_cache.get(key)
+            if gf is None:
+                fn = self._score_fast
+
+                def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
+                    out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
+                             coh[ci], cop[ci], com[ci], cnk[ci])
+                    return jnp.stack([out[k].astype(jnp.int32)
+                                      for k in names])
+
+                gf = jax.jit(impl)
+                self._gather_score_cache[key] = gf
+            return np.asarray(gf(*q_dev, *c_dev, jnp.asarray(qq_p),
+                                 jnp.asarray(cc_p)))
+
+        parts = []
+        B = self.SCORE_DISPATCH_MAX
+        for s in range(0, T, B):
+            e = min(s + B, T)
+            T_pad = max(P, ((e - s + P - 1) // P) * P)
+            qq_p = np.zeros(T_pad, np.int32)
+            cc_p = np.zeros(T_pad, np.int32)
+            qq_p[:e - s] = qq[s:e]
+            cc_p[:e - s] = cc[s:e]
+            parts.append(run(qq_p, cc_p)[:, :e - s])
+        packed = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         return {n: packed[i] for i, n in enumerate(names)}
 
     def score_pairs(self, qs: SketchStore, cs: SketchStore,
