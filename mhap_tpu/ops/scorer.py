@@ -35,11 +35,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from . import u64
+from . import bitonic, u64
 
 I32 = jnp.int32
 U32 = jnp.uint32
 _IMAX = jnp.int32(0x7FFFFFFF)
+_UMAXU = U32(0xFFFFFFFF)
 PAD_HASH = _IMAX
 
 
@@ -567,11 +568,9 @@ def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray) -> dict:
     return dict(zip(names, vals))
 
 
-def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
-    """Master sort for the scan-based fast path: both (hash,pos)-sorted
-    lists merged into one [2S] array ordered by (pad, hash, tag, pos) --
-    each shared-hash run is contiguous with side-0 entries (pos ascending)
-    before side-1 entries."""
+def _sorted_pair_structure_sort(a_h, a_p, a_m, b_h, b_p, b_m):
+    """Reference formulation of the master structure (full 4-key lax.sort);
+    kept for differential testing of the bitonic-merge fast path."""
     S = a_h.shape[0]
     slot = jnp.arange(S, dtype=I32)
     is_pad = jnp.concatenate([slot >= a_m, slot >= b_m]).astype(U32)
@@ -585,6 +584,66 @@ def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
         [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]])
     last = real & jnp.concatenate(
         [(s_h[1:] != s_h[:-1]) | (ip[1:] != 0), jnp.ones((1,), bool)])
+    idx = jnp.arange(n2, dtype=I32)
+    return dict(h=s_h, p=s_p, tag=s_tag, real=real, first=first, last=last,
+                idx=idx)
+
+
+def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
+    """Master structure for the scan-based fast path: both (hash,pos)-sorted
+    lists merged into one [2S] array ordered by (pad, hash, tag, pos) --
+    each shared-hash run is contiguous with side-0 entries (pos ascending)
+    before side-1 entries.
+
+    Built by a bitonic MERGE, not a sort: each side is already sorted by
+    (hash, pos) with pads in the suffix slots (the BottomOverlapSketch
+    construction invariant, sketch/BottomOverlapSketch.java:543-558), so
+    concat(A, reverse(B)) is bitonic under the packed key and log2(2S)
+    compare-exchange stages replace the full 4-key sort network.
+
+    Packed 2-limb key per entry:
+      limb0 = hash ^ 0x80000000   (signed order as unsigned)
+      limb1 = tag << 31 | pos     (pos is an int32 k-mer index >= 0)
+    pad entries (slot >= m) get (0xFFFFFFFF, 0xFFFFFFFF), which no real
+    entry can equal (it would need pos == 0x7FFFFFFF, i.e. a read longer
+    than int32).  A real hash CAN equal the 0x7FFFFFFF sentinel; its limb1
+    keeps it ahead of the pads, preserving the (pad, hash, tag, pos) order.
+    """
+    S = a_h.shape[0]
+    P2 = 1
+    while P2 < S:
+        P2 *= 2
+    slot = jnp.arange(S, dtype=I32)
+
+    def pack(h, p, m, tag_bit):
+        k0 = h.astype(U32) ^ U32(0x80000000)
+        k1 = p.astype(U32) | (U32(tag_bit) << U32(31))
+        pad = slot >= m
+        k0 = jnp.where(pad, _UMAXU, k0)
+        k1 = jnp.where(pad, _UMAXU, k1)
+        if P2 > S:
+            ext = jnp.full((P2 - S,), _UMAXU, U32)
+            k0 = jnp.concatenate([k0, ext])
+            k1 = jnp.concatenate([k1, ext])
+        return k0, k1
+
+    ka0, ka1 = pack(a_h, a_p, a_m, 0)
+    kb0, kb1 = pack(b_h, b_p, b_m, 1)
+    c0 = jnp.concatenate([ka0, kb0[::-1]])
+    c1 = jnp.concatenate([ka1, kb1[::-1]])
+    s0, s1 = bitonic.merge(c0, c1)
+    n2 = 2 * S
+    s0 = s0[:n2]  # dropped tail is all pad-keyed (reals sort first)
+    s1 = s1[:n2]
+
+    real = ~((s0 == _UMAXU) & (s1 == _UMAXU))
+    s_h = (s0 ^ U32(0x80000000)).astype(I32)
+    s_tag = (s1 >> U32(31)).astype(I32)
+    s_p = (s1 & U32(0x7FFFFFFF)).astype(I32)
+    first = real & jnp.concatenate(
+        [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]])
+    last = real & jnp.concatenate(
+        [(s_h[1:] != s_h[:-1]) | ~real[1:], jnp.ones((1,), bool)])
     idx = jnp.arange(n2, dtype=I32)
     return dict(h=s_h, p=s_p, tag=s_tag, real=real, first=first, last=last,
                 idx=idx)

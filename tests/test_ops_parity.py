@@ -322,3 +322,49 @@ def test_xorshift_u64_parity():
     lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     got = u64.to_numpy(u64.xorshift((hi, lo)))
     np.testing.assert_array_equal(got, osk.xorshift64(vals))
+
+
+def test_master_structure_merge_vs_sort():
+    """The bitonic-merge master structure must equal the 4-key-sort
+    formulation on every field reals can influence, for adversarial
+    inputs: duplicate hashes within and across sides, hashes equal to the
+    PAD sentinel, empty sides, non-power-of-two sketch widths."""
+    rng = np.random.default_rng(99)
+    for S in (8, 12, 96, 1536):
+        for trial in range(12):
+            # small hash alphabet -> heavy duplicate runs; sprinkle the
+            # 0x7FFFFFFF sentinel as a REAL hash value
+            m1 = int(rng.integers(0, S + 1))
+            m2 = int(rng.integers(0, S + 1))
+            if trial == 0:
+                m1, m2 = S, S
+            if trial == 1:
+                m1 = 0
+
+            def mk(m):
+                h = rng.integers(-5, 5, m).astype(np.int32)
+                h[rng.random(m) < 0.05] = 0x7FFFFFFF
+                p = rng.integers(0, 50, m).astype(np.int32)
+                order = np.lexsort((p, h))
+                hh = np.full(S, 0x7FFFFFFF, np.int32)
+                pp = np.full(S, 0x7FFFFFFF, np.int32)
+                hh[:m] = h[order]
+                pp[:m] = p[order]
+                return hh, pp
+
+            a_h, a_p = mk(m1)
+            b_h, b_p = mk(m2)
+            args = (jnp.asarray(a_h), jnp.asarray(a_p), jnp.int32(m1),
+                    jnp.asarray(b_h), jnp.asarray(b_p), jnp.int32(m2))
+            ref = {k: np.asarray(v) for k, v in
+                   ksc._sorted_pair_structure_sort(*args).items()}
+            got = {k: np.asarray(v) for k, v in
+                   ksc._sorted_pair_structure(*args).items()}
+            real = ref["real"]
+            np.testing.assert_array_equal(got["real"], real, err_msg=f"{S}")
+            for f in ("h", "p", "tag", "first", "last"):
+                np.testing.assert_array_equal(
+                    got[f][real], ref[f][real], err_msg=f"{S}/{f}")
+            # pads must contribute nothing: first/last false there
+            assert not got["first"][~real].any()
+            assert not got["last"][~real].any()
