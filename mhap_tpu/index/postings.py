@@ -57,14 +57,36 @@ def vote_device_packed(post_vals, post_sids, query_mh, *, span_cap: int = 16,
     H, N = post_vals.shape
     Q = query_mh.shape[0]
 
-    # per (q, pos): locate the value span in the position's posting row
-    def row_lookup(vals_row, q_vals):
-        left = jnp.searchsorted(vals_row, q_vals, side="left")
-        right = jnp.searchsorted(vals_row, q_vals, side="right")
-        return left, right
-
-    left, right = jax.vmap(row_lookup, in_axes=(0, 1), out_axes=1)(
-        post_vals, query_mh)          # [Q, H]
+    # per (q, pos): locate the value span in the position's posting row.
+    # Vectorized binary search (searchsorted) is a computed-index gather
+    # loop -- very slow on TPU.  Instead, a per-band SORT-JOIN: jointly
+    # sort postings (tag 0) and queries (tag 1) per band, then ranks fall
+    # out of cumulative sums and a run-start cummax, and (left, cnt) ride
+    # back to query-slot order on a second sort.  Two [H, N+Q] sorts
+    # replace Q*H binary searches.
+    M = N + Q
+    j_vals = jnp.concatenate([post_vals, query_mh.T], axis=1)   # [H, M]
+    j_tag = jnp.concatenate(
+        [jnp.zeros((H, N), I32), jnp.ones((H, Q), I32)], axis=1)
+    j_pay = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(N, dtype=I32), (H, N)),
+         jnp.broadcast_to(jnp.arange(Q, dtype=I32), (H, Q))], axis=1)
+    s_val, s_tag, s_pay = jax.lax.sort(
+        (j_vals, j_tag, j_pay), dimension=1, num_keys=2)
+    pos_j = jnp.broadcast_to(jnp.arange(M, dtype=I32), (H, M))
+    cum_q = jnp.cumsum(s_tag, axis=1)              # queries at or before j
+    right_j = pos_j + 1 - cum_q                    # postings at or before j
+    # left = postings before this element's value-run: propagate the
+    # run-start rank (non-decreasing, so a cummax carries it along runs)
+    new_run = jnp.concatenate(
+        [jnp.ones((H, 1), bool), s_val[:, 1:] != s_val[:, :-1]], axis=1)
+    left_j = jax.lax.cummax(
+        jnp.where(new_run, pos_j - (cum_q - s_tag), 0), axis=1)
+    # back to query-slot order: postings (tag 0) first, queries by slot
+    _, _, b_left, b_right = jax.lax.sort(
+        (s_tag, s_pay, left_j, right_j), dimension=1, num_keys=2)
+    left = b_left[:, N:].T                          # [Q, H]
+    right = b_right[:, N:].T
     cnt = right - left
     overflow = jnp.sum(jnp.maximum(cnt - span_cap, 0), axis=1).astype(I32)
     hits_total = jnp.sum(cnt, axis=1).astype(I32)

@@ -233,7 +233,9 @@ def _optimize_shifts(p1b, p2b, cnt, median, cap: int):
     s_run, s_key, s_idx = jax.lax.sort((run_id, key, idx), num_keys=3)
     first_of_run = jnp.concatenate(
         [jnp.ones((1,), bool), s_run[1:] != s_run[:-1]]) & (s_run < cap)
-    keep = jnp.zeros((cap,), bool).at[s_idx].set(first_of_run)
+    # un-permute by sorting on the carried index (scatter-free)
+    _, keep_i = jax.lax.sort((s_idx, first_of_run.astype(I32)), num_keys=1)
+    keep = keep_i == 1
     new_cnt = jnp.sum(keep).astype(I32)
     return keep, new_cnt
 
@@ -352,115 +354,6 @@ def _prefilter_shared(a_h, a_p, m1, b_h, b_p, m2):
     return na_h, na_p, nm1, nb_h, nb_p, nm2
 
 
-def _fast_pass(a_h, a_p, m1, b_h, b_p, m2, median, abs_max,
-               v1l, v1u, v2l, v2u, cap: int):
-    """Vectorized recordMatchingKmers pass (per lane; vmapped by caller).
-
-    The merge automaton's behavior is per-hash-run local: for each hash
-    value shared by both (hash,pos)-sorted lists it records the (first
-    window-valid p1, first window-valid p2) pair if its shift passes the
-    median +- abs_max bound, then -- if either side's run extends -- the
-    (last consecutive valid p1, last valid p2) pair with no shift check,
-    and jumps both cursors past the run (BottomOverlapSketch.java:397-516).
-    That reduces to one sort + segment reductions, EXCEPT when
-      (a) a run has a window-invalid entry strictly between its first and
-          last valid entries (the extension stops there and the tail can
-          re-match), or
-      (b) the first-pair shift check fails while the advancing side has
-          more than one valid entry in the run (the automaton retries
-          within the run).
-    Those lanes are flagged (`needs_slow`) and must be re-scored with the
-    exact automaton (_merge_pass); all others are bit-exact here.
-
-    Returns (pos1 [cap], pos2 [cap], cnt, needs_slow).
-    """
-    S = a_h.shape[0]
-    n2 = 2 * S
-    slot = jnp.arange(S, dtype=I32)
-    real1 = slot < m1
-    real2 = slot < m2
-    ok1 = real1 & (a_p >= v1l) & (a_p < v1u)
-    ok2 = real2 & (b_p >= v2l) & (b_p < v2u)
-
-    vals = jnp.concatenate([a_h, b_h])
-    poss = jnp.concatenate([a_p, b_p])
-    tags = jnp.concatenate([jnp.zeros((S,), I32), jnp.ones((S,), I32)])
-    real = jnp.concatenate([real1, real2])
-    okv = jnp.concatenate([ok1, ok2])
-    is_pad = (~real).astype(U32)
-    _, s_h, s_tag, s_p, s_ok, s_real = jax.lax.sort(
-        (is_pad, vals, tags, poss, okv.astype(I32), real.astype(I32)),
-        num_keys=2)
-    s_ok = s_ok == 1
-    s_real = s_real == 1
-
-    new_run = jnp.concatenate(
-        [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]]) & s_real
-    run_id = jnp.cumsum(new_run.astype(I32)) - 1
-    run_id_c = jnp.where(s_real, run_id, n2 - 1)
-    nruns = jnp.sum(new_run).astype(I32)
-
-    def seg(x, mask, op, fill):
-        data = jnp.where(mask, x, fill)
-        if op == "min":
-            return jax.ops.segment_min(data, run_id_c, num_segments=n2)
-        if op == "max":
-            return jax.ops.segment_max(data, run_id_c, num_segments=n2)
-        return jax.ops.segment_sum(data, run_id_c, num_segments=n2)
-
-    t0 = s_tag == 0
-    t1 = s_tag == 1
-    c1v = seg(jnp.ones((n2,), I32), s_ok & t0, "sum", 0)
-    c2v = seg(jnp.ones((n2,), I32), s_ok & t1, "sum", 0)
-    fp1 = seg(s_p, s_ok & t0, "min", _IMAX)
-    fp2 = seg(s_p, s_ok & t1, "min", _IMAX)
-    lp1 = seg(s_p, s_ok & t0, "max", -_IMAX - 1)
-    lp2 = seg(s_p, s_ok & t1, "max", -_IMAX - 1)
-    # interior window-invalid entries between first and last valid
-    fp1_b = fp1[run_id_c]
-    lp1_b = lp1[run_id_c]
-    fp2_b = fp2[run_id_c]
-    lp2_b = lp2[run_id_c]
-    bad1 = seg(jnp.ones((n2,), I32),
-               t0 & s_real & ~s_ok & (s_p > fp1_b) & (s_p < lp1_b),
-               "sum", 0) > 0
-    bad2 = seg(jnp.ones((n2,), I32),
-               t1 & s_real & ~s_ok & (s_p > fp2_b) & (s_p < lp2_b),
-               "sum", 0) > 0
-
-    valid_run = (c1v > 0) & (c2v > 0)
-    shift = fp2 - fp1
-    diff = shift - median
-    sf_hi = diff > abs_max
-    sf_lo = diff < -abs_max
-    flag = valid_run & ((sf_hi & (c1v > 1)) | (sf_lo & (c2v > 1))
-                        | bad1 | bad2)
-    needs_slow = jnp.any(flag)
-
-    rec_first = valid_run & ~sf_hi & ~sf_lo
-    moved = (lp1 != fp1) | (lp2 != fp2)
-    rec_last = rec_first & moved
-
-    rc = rec_first.astype(I32) + rec_last.astype(I32)
-    run_slot = jnp.arange(n2, dtype=I32)
-    rc = jnp.where(run_slot < nruns, rc, 0)
-    rec_first &= run_slot < nruns
-    rec_last &= run_slot < nruns
-    base = jnp.cumsum(rc) - rc  # exclusive prefix, in ascending-hash order
-    cnt = jnp.sum(rc).astype(I32)
-
-    p1b = jnp.full((cap,), _IMAX, I32)
-    p2b = jnp.full((cap,), _IMAX, I32)
-    # out-of-bounds index for non-recording runs -> dropped by the scatter
-    idx_f = jnp.where(rec_first, base, cap)
-    idx_l = jnp.where(rec_last, base + 1, cap)
-    p1b = p1b.at[idx_f].set(fp1, mode="drop")
-    p2b = p2b.at[idx_f].set(fp2, mode="drop")
-    p1b = p1b.at[idx_l].set(lp1, mode="drop")
-    p2b = p2b.at[idx_l].set(lp2, mode="drop")
-    return p1b, p2b, cnt, needs_slow
-
-
 def make_score_pairs(max_shift_percent: float, sketch_size: int,
                      cap: int | None = None, jit: bool = True):
     """Build the batched pair scorer for a given max-shift percent.
@@ -569,8 +462,14 @@ def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray) -> dict:
 
 
 def _sorted_pair_structure_sort(a_h, a_p, a_m, b_h, b_p, b_m):
-    """Reference formulation of the master structure (full 4-key lax.sort);
-    kept for differential testing of the bitonic-merge fast path."""
+    """Master structure via one full 4-key lax.sort.
+
+    The default on TPU: XLA's TPU sort at these widths runs ~0.1ms per
+    512-lane batch, while the bitonic merge's interleave steps
+    (stack+reshape at distances below the lane width) relayout every
+    stage and measure ~500x slower on a v5e.  The CPU backend is the
+    mirror image (merge 5-7x faster than sort) -- see
+    _sorted_pair_structure for the dispatch."""
     S = a_h.shape[0]
     slot = jnp.arange(S, dtype=I32)
     is_pad = jnp.concatenate([slot >= a_m, slot >= b_m]).astype(U32)
@@ -589,7 +488,7 @@ def _sorted_pair_structure_sort(a_h, a_p, a_m, b_h, b_p, b_m):
                 idx=idx)
 
 
-def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
+def _sorted_pair_structure_merge(a_h, a_p, a_m, b_h, b_p, b_m):
     """Master structure for the scan-based fast path: both (hash,pos)-sorted
     lists merged into one [2S] array ordered by (pad, hash, tag, pos) --
     each shared-hash run is contiguous with side-0 entries (pos ascending)
@@ -600,6 +499,9 @@ def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
     construction invariant, sketch/BottomOverlapSketch.java:543-558), so
     concat(A, reverse(B)) is bitonic under the packed key and log2(2S)
     compare-exchange stages replace the full 4-key sort network.
+    5-7x faster than lax.sort on the CPU backend (tests, virtual-mesh
+    scale runs); cataclysmically slower on TPU, where the sort network
+    wins -- see _sorted_pair_structure_sort.
 
     Packed 2-limb key per entry:
       limb0 = hash ^ 0x80000000   (signed order as unsigned)
@@ -649,64 +551,121 @@ def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
                 idx=idx)
 
 
-def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u, cap: int):
+def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
+    """Backend dispatch for the master structure (trace-time choice; both
+    formulations are differentially tested bit-identical)."""
+    if jax.default_backend() == "cpu":
+        return _sorted_pair_structure_merge(a_h, a_p, a_m, b_h, b_p, b_m)
+    return _sorted_pair_structure_sort(a_h, a_p, a_m, b_h, b_p, b_m)
+
+
+def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
+                    cap: int | None, *, pass1: bool = False):
     """Scan-based recordMatchingKmers pass on the master structure.
 
-    Exact except for the flagged corner cases (same rules as _fast_pass);
-    returns (pos1 [cap], pos2 [cap], cnt, needs_slow)."""
+    The merge automaton's behavior is per-hash-run local: for each hash
+    value shared by both (hash,pos)-sorted lists it records the (first
+    window-valid p1, first window-valid p2) pair if its shift passes the
+    median +- abs_max bound, then -- if either side's run extends -- the
+    (last consecutive valid p1, last valid p2) pair with no shift check,
+    and jumps both cursors past the run (BottomOverlapSketch.java:397-516).
+    That reduces to segmented scans over the master structure, EXCEPT when
+      (a) a run has a window-invalid entry strictly between its first and
+          last valid entries (the extension stops there and the tail can
+          re-match), or
+      (b) the first-pair shift check fails while the advancing side has
+          more than one valid entry in the run (the automaton retries
+          within the run).
+    Those lanes are flagged (`needs_slow`) and re-scored with the exact
+    automaton on the host; all others are bit-exact here.
+
+    Returns (pos1 [cap], pos2 [cap], cnt, needs_slow); with cap=None
+    (shifts-only mode) returns (shifts [2*n2], None, cnt, needs_slow)
+    instead, skipping the record compaction.
+
+    pass1=True specializes for the unconstrained first pass: positions are
+    always inside the windows (okv == real) and the shift bound cannot
+    fail, so the corner cases (a)/(b) are impossible -- the scan carries 6
+    leaves instead of 10 and skips the flag logic entirely."""
     p, tag, real = st["p"], st["tag"], st["real"]
     idx, first, last = st["idx"], st["first"], st["last"]
     n2 = p.shape[0]
     t0 = tag == 0
     t1 = tag == 1
-    okv = real & jnp.where(t0, (p >= v1l) & (p < v1u),
-                           (p >= v2l) & (p < v2u))
+    if pass1:
+        okv = real
+    else:
+        okv = real & jnp.where(t0, (p >= v1l) & (p < v1u),
+                               (p >= v2l) & (p < v2u))
     one = jnp.ones((n2,), I32)
-    agg = seg_suffix_scan({
+    leaves = {
         "c1": (jnp.where(okv & t0, one, 0), "sum"),
         "c2": (jnp.where(okv & t1, one, 0), "sum"),
         "fp1": (jnp.where(okv & t0, p, _IMAX), "min"),
         "fp2": (jnp.where(okv & t1, p, _IMAX), "min"),
         "lp1": (jnp.where(okv & t0, p, -_IMAX - 1), "max"),
         "lp2": (jnp.where(okv & t1, p, -_IMAX - 1), "max"),
-        "i1min": (jnp.where(okv & t0, idx, _IMAX), "min"),
-        "i1max": (jnp.where(okv & t0, idx, -1), "max"),
-        "i2min": (jnp.where(okv & t1, idx, _IMAX), "min"),
-        "i2max": (jnp.where(okv & t1, idx, -1), "max"),
-    }, last)
+    }
+    if not pass1:
+        leaves.update({
+            "i1min": (jnp.where(okv & t0, idx, _IMAX), "min"),
+            "i1max": (jnp.where(okv & t0, idx, -1), "max"),
+            "i2min": (jnp.where(okv & t1, idx, _IMAX), "min"),
+            "i2max": (jnp.where(okv & t1, idx, -1), "max"),
+        })
+    agg = seg_suffix_scan(leaves, last)
 
     # evaluate at run representatives (first element of each run)
     valid_run = first & (agg["c1"] > 0) & (agg["c2"] > 0)
-    # interior window-invalid entries: per-side element span != valid count
-    # (side blocks are contiguous and pos-ascending after the master sort)
-    bad1 = (agg["i1max"] - agg["i1min"] + 1) != agg["c1"]
-    bad2 = (agg["i2max"] - agg["i2min"] + 1) != agg["c2"]
-    shift = agg["fp2"] - agg["fp1"]
-    diff = shift - median
-    sf_hi = diff > abs_max
-    sf_lo = diff < -abs_max
-    flag = valid_run & ((sf_hi & (agg["c1"] > 1)) | (sf_lo & (agg["c2"] > 1))
-                        | bad1 | bad2)
-    needs_slow = jnp.any(flag)
+    if pass1:
+        needs_slow = jnp.zeros((), bool)
+        sf_hi = sf_lo = jnp.zeros((n2,), bool)
+    else:
+        # interior window-invalid entries: per-side element span != valid
+        # count (side blocks are contiguous and pos-ascending after the
+        # master sort)
+        bad1 = (agg["i1max"] - agg["i1min"] + 1) != agg["c1"]
+        bad2 = (agg["i2max"] - agg["i2min"] + 1) != agg["c2"]
+        shift = agg["fp2"] - agg["fp1"]
+        diff = shift - median
+        sf_hi = diff > abs_max
+        sf_lo = diff < -abs_max
+        flag = valid_run & ((sf_hi & (agg["c1"] > 1))
+                            | (sf_lo & (agg["c2"] > 1)) | bad1 | bad2)
+        needs_slow = jnp.any(flag)
 
     rec_first = valid_run & ~sf_hi & ~sf_lo
     moved = (agg["lp1"] != agg["fp1"]) | (agg["lp2"] != agg["fp2"])
     rec_last = rec_first & moved
     rc = rec_first.astype(I32) + rec_last.astype(I32)
-    base = jnp.cumsum(rc) - rc
     cnt = jnp.sum(rc).astype(I32)
+    if cap is None:
+        # shifts-only mode (pass 1): the caller needs just the record
+        # count and the shift median, so skip the compaction sort and
+        # return the wide masked shift array (records padded +MAX)
+        shifts = jnp.concatenate([
+            jnp.where(rec_first, agg["fp2"] - agg["fp1"], _IMAX),
+            jnp.where(rec_last, agg["lp2"] - agg["lp1"], _IMAX)])
+        return shifts, None, cnt, needs_slow
+    base = jnp.cumsum(rc) - rc
     # record-capacity overflow (cap may be < 2S to shrink the shift/sort
     # widths): flagged lanes re-run exactly on the host
     needs_slow = needs_slow | (cnt > cap)
 
-    p1b = jnp.full((cap,), _IMAX, I32)
-    p2b = jnp.full((cap,), _IMAX, I32)
-    idx_f = jnp.where(rec_first, base, cap)
-    idx_l = jnp.where(rec_last, base + 1, cap)
-    p1b = p1b.at[idx_f].set(agg["fp1"], mode="drop")
-    p2b = p2b.at[idx_f].set(agg["fp2"], mode="drop")
-    p1b = p1b.at[idx_l].set(agg["lp1"], mode="drop")
-    p2b = p2b.at[idx_l].set(agg["lp2"], mode="drop")
+    # compact records to [cap] BY SORT, not scatter: computed-index
+    # scatters dominate the scorer on TPU (~10x the cost of a lax.sort of
+    # the same width).  Each run representative carries up to two records
+    # (first pair at slot `base`, last pair at `base + 1`); sorting the
+    # 2*n2 (slot, p1, p2) triples by slot packs them into the record
+    # buffer prefix in target order.
+    key = jnp.concatenate([jnp.where(rec_first, base, n2 + cap),
+                           jnp.where(rec_last, base + 1, n2 + cap)])
+    v1 = jnp.concatenate([agg["fp1"], agg["lp1"]])
+    v2 = jnp.concatenate([agg["fp2"], agg["lp2"]])
+    _, s1, s2 = jax.lax.sort((key, v1, v2), num_keys=1)
+    in_cnt = jnp.arange(cap, dtype=I32) < cnt
+    p1b = jnp.where(in_cnt, s1[:cap], _IMAX)
+    p2b = jnp.where(in_cnt, s2[:cap], _IMAX)
     return p1b, p2b, cnt, needs_slow
 
 
@@ -759,14 +718,16 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
         st = _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m)
 
         # pass 1: unconstrained windows -- positions always in range, the
-        # shift bound can never fail (|shift| <= max(nk) < abs_max)
+        # shift bound can never fail (|shift| <= max(nk) < abs_max).  Only
+        # the record count + shift median are needed, so the pass runs in
+        # shifts-only mode (no record compaction; median over the full
+        # uncapped record list, exactly the reference semantics)
         abs_max0 = jnp.maximum(a_nk, b_nk) + 1
-        p1b, p2b, cnt1, _ = _fast_pass_scan(
+        shifts1, _, cnt1, _ = _fast_pass_scan(
             st, jnp.int32(0), abs_max0, jnp.int32(0), a_nk,
-            jnp.int32(0), b_nk, cap)
+            jnp.int32(0), b_nk, None, pass1=True)
         ok = cnt1 > 0
 
-        shifts1 = jnp.where(jnp.arange(cap) < cnt1, p2b - p1b, _IMAX)
         median1, abs_max1 = _shift_stats(shifts1, cnt1, a_nk, b_nk, m_c, s_c)
         v1l, v1u, v2l, v2u = _window_params(median1, abs_max1, a_nk, b_nk)
 

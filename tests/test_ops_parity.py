@@ -359,7 +359,7 @@ def test_master_structure_merge_vs_sort():
             ref = {k: np.asarray(v) for k, v in
                    ksc._sorted_pair_structure_sort(*args).items()}
             got = {k: np.asarray(v) for k, v in
-                   ksc._sorted_pair_structure(*args).items()}
+                   ksc._sorted_pair_structure_merge(*args).items()}
             real = ref["real"]
             np.testing.assert_array_equal(got["real"], real, err_msg=f"{S}")
             for f in ("h", "p", "tag", "first", "last"):
