@@ -414,7 +414,8 @@ def make_score_pairs(max_shift_percent: float, sketch_size: int,
 _OP_FILL = {"sum": 0, "min": None, "max": None}  # min/max fills per-leaf
 
 
-def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray) -> dict:
+def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray,
+                    max_span: int | None = None) -> dict:
     """Backward segmented inclusive scan carrying several reductions at
     once (no scatters, no data-dependent control flow).
 
@@ -427,6 +428,12 @@ def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray) -> dict:
     (v'[e] = f[e] ? v[e] : op(v[e], v[e+d]); f'[e] = f[e] | f[e+d]) --
     a small static graph, unlike lax.associative_scan's recursive
     construction which explodes trace/compile time at this width.
+
+    max_span: when every run is known to span <= max_span elements, the
+    doubling loop stops early (log2(max_span) steps instead of log2(n)) --
+    the scorer's dominant cost.  Results for longer runs are WRONG; the
+    caller must detect them and escalate (see make_score_pairs_fast's
+    scan_bound / long-run flag).
     """
     names = list(leaves)
     ops = [leaves[n][1] for n in names]
@@ -443,7 +450,8 @@ def seg_suffix_scan(leaves: dict, run_last: jnp.ndarray) -> dict:
 
     f = run_last
     d = 1
-    while d < n:
+    limit = n if max_span is None else min(n, max_span)
+    while d < limit:
         fs = jnp.concatenate([f[d:], jnp.ones((d,), bool)])
         nv = []
         for op, v, fill in zip(ops, vals, fills):
@@ -560,7 +568,8 @@ def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
 
 
 def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
-                    cap: int | None, *, pass1: bool = False):
+                    cap: int | None, *, pass1: bool = False,
+                    max_span: int | None = None):
     """Scan-based recordMatchingKmers pass on the master structure.
 
     The merge automaton's behavior is per-hash-run local: for each hash
@@ -613,7 +622,7 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
             "i2min": (jnp.where(okv & t1, idx, _IMAX), "min"),
             "i2max": (jnp.where(okv & t1, idx, -1), "max"),
         })
-    agg = seg_suffix_scan(leaves, last)
+    agg = seg_suffix_scan(leaves, last, max_span)
 
     # evaluate at run representatives (first element of each run)
     valid_run = first & (agg["c1"] > 0) & (agg["c2"] > 0)
@@ -669,7 +678,8 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
     return p1b, p2b, cnt, needs_slow
 
 
-def _windowed_jaccard_scan(st, m1, m2, a1, a2, b1, b2):
+def _windowed_jaccard_scan(st, m1, m2, a1, a2, b1, b2,
+                           max_span: int | None = None):
     """computeKBottomSketchJaccard closed form on the master structure."""
     p, tag, real = st["p"], st["tag"], st["real"]
     first, last = st["first"], st["last"]
@@ -685,7 +695,7 @@ def _windowed_jaccard_scan(st, m1, m2, a1, a2, b1, b2):
     agg = seg_suffix_scan({
         "c1": (jnp.where(in1, one, 0), "sum"),
         "c2": (jnp.where(in2, one, 0), "sum"),
-    }, last)
+    }, last, max_span)
     c1 = jnp.where(first, agg["c1"], 0)
     c2 = jnp.where(first, agg["c2"], 0)
     u = jnp.maximum(c1, c2)
@@ -697,7 +707,8 @@ def _windowed_jaccard_scan(st, m1, m2, a1, a2, b1, b2):
 
 
 def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
-                          cap: int | None = None, jit: bool = True):
+                          cap: int | None = None, jit: bool = True,
+                          scan_bound: int | None = 8):
     """Vectorized-fast-path batched scorer (one master sort + segmented
     scans; no data-dependent loops).
 
@@ -705,6 +716,15 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
     where the fast pass cannot reproduce the automaton bit-exactly (see
     _fast_pass_scan) and must be re-scored with make_score_pairs.  All
     other lanes are exact.
+
+    scan_bound: the segmented scans run log2(scan_bound) doubling steps
+    instead of log2(2S) -- the scorer's dominant cost (the scans, not the
+    master sort, bound the stage on TPU).  Lanes containing any hash run
+    longer than scan_bound elements are detected exactly (equal hashes at
+    distance scan_bound in the sorted structure) and flagged needs_slow.
+    Real-data runs are c1+c2 duplicate 12-mers of one hash value within
+    two 1536-entry sketches -- measured <= 4 on 100% of bench pairs -- so
+    the default 8 escalates essentially nothing.  None = unbounded.
 
     (A shared-hash-compacted narrow variant was measured and rejected: the
     per-lane computed-index gathers it needs run far below lax.sort speed
@@ -717,6 +737,16 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
     def score_one(a_h, a_p, a_m, a_nk, b_h, b_p, b_m, b_nk):
         st = _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m)
 
+        if scan_bound is not None:
+            # any run longer than scan_bound has equal (real) hashes at
+            # distance scan_bound -- exact, conservative in neither
+            # direction (sorted order makes equal values contiguous)
+            h, real = st["h"], st["real"]
+            long_run = jnp.any((h[:-scan_bound] == h[scan_bound:])
+                               & real[:-scan_bound] & real[scan_bound:])
+        else:
+            long_run = jnp.zeros((), bool)
+
         # pass 1: unconstrained windows -- positions always in range, the
         # shift bound can never fail (|shift| <= max(nk) < abs_max).  Only
         # the record count + shift median are needed, so the pass runs in
@@ -725,14 +755,16 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
         abs_max0 = jnp.maximum(a_nk, b_nk) + 1
         shifts1, _, cnt1, _ = _fast_pass_scan(
             st, jnp.int32(0), abs_max0, jnp.int32(0), a_nk,
-            jnp.int32(0), b_nk, None, pass1=True)
+            jnp.int32(0), b_nk, None, pass1=True, max_span=scan_bound)
         ok = cnt1 > 0
 
         median1, abs_max1 = _shift_stats(shifts1, cnt1, a_nk, b_nk, m_c, s_c)
         v1l, v1u, v2l, v2u = _window_params(median1, abs_max1, a_nk, b_nk)
 
         p1b, p2b, cnt2, needs_slow = _fast_pass_scan(
-            st, median1, abs_max1, v1l, v1u, v2l, v2u, cap)
+            st, median1, abs_max1, v1l, v1u, v2l, v2u, cap,
+            max_span=scan_bound)
+        needs_slow = needs_slow | long_run
         ok = ok & (cnt2 > 0)
 
         shifts2 = jnp.where(jnp.arange(cap) < cnt2, p2b - p1b, _IMAX)
@@ -746,7 +778,8 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
             p1b, p2b, keep, median3, abs_max3, a_nk, b_nk)
         ok = ok & eok
 
-        inter, k = _windowed_jaccard_scan(st, a_m, b_m, a1, a2, b1, b2)
+        inter, k = _windowed_jaccard_scan(st, a_m, b_m, a1, a2, b1, b2,
+                                          max_span=scan_bound)
         return {
             "ok": ok, "inter": inter, "k": k, "valid_cnt": vcnt,
             "a1": a1, "a2": a2, "b1": b1, "b2": b2,

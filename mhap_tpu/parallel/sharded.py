@@ -496,6 +496,11 @@ class ShardedOverlapper(TpuOverlapper):
             self._stages[key] = fn = f
         return fn
 
+    # flagged lanes: keep the host-oracle rescore (the sharded row pulls
+    # ride the replicating gather stage; a CPU-mesh exact-automaton compile
+    # is not worth a handful of lanes)
+    _rescore_slow = TpuOverlapper._rescore_slow_host
+
     def _pull_rows(self, store: SketchStore, rows: np.ndarray):
         if len(store) % self.D:
             store = _pad_store(store, self.D)

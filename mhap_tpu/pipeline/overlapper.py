@@ -899,9 +899,14 @@ class TpuOverlapper:
 
     def _dev_store(self, store: SketchStore, quantum: int = 1024):
         """Scorer-ready device columns, row-padded to a size quantum
-        (bounds jit variants); cached on the store."""
+        (bounds jit variants); cached on the store.  Always keeps >= 1
+        pad row (ordered_m = 0): lane padding in the score dispatches
+        targets the last row so padded lanes exit the scorer immediately
+        instead of scoring a real self-pair (which, in the while-loop
+        exact scorer, runs the automaton over a full-overlap pair and
+        dominates the dispatch)."""
         N = len(store)
-        N_pad = max(quantum, ((N + quantum - 1) // quantum) * quantum)
+        N_pad = (N // quantum + 1) * quantum
         cached = store._dev_cache
         if cached is not None and cached[0] == N_pad:
             return cached[1]
@@ -969,8 +974,9 @@ class TpuOverlapper:
         for s in range(0, T, B):
             e = min(s + B, T)
             T_pad = max(P, ((e - s + P - 1) // P) * P)
-            qq_p = np.zeros(T_pad, np.int32)
-            cc_p = np.zeros(T_pad, np.int32)
+            # padded lanes point at the guaranteed pad row (m = 0)
+            qq_p = np.full(T_pad, q_dev[0].shape[0] - 1, np.int32)
+            cc_p = np.full(T_pad, c_dev[0].shape[0] - 1, np.int32)
             qq_p[:e - s] = qq[s:e]
             cc_p[:e - s] = cc[s:e]
             parts.append(run(qq_p, cc_p)[:, :e - s])
@@ -1011,26 +1017,92 @@ class TpuOverlapper:
 
         ns = out["needs_slow"].astype(bool)
         if ns.any():
-            # flagged lanes are rare (automaton corner cases); the host
-            # oracle scores them exactly in microseconds each, far cheaper
-            # than a latency-bound device while_loop relaunch
             slow_t = np.nonzero(ns)[0]
             self.slow_pair_count += len(slow_t)
-            q_rows = qi[slow_t]
-            c_rows = ci[slow_t]
-            q_oh, q_op, q_om, q_nk = self._pull_rows(qs, q_rows)
-            c_oh, c_op, c_om, c_nk = self._pull_rows(cs, c_rows)
-            for t_i, t in enumerate(slow_t):
-                m1 = int(q_om[t_i])
-                m2 = int(c_om[t_i])
-                s1 = np.stack([q_oh[t_i, :m1], q_op[t_i, :m1]], axis=1)
-                s2 = np.stack([c_oh[t_i, :m2], c_op[t_i, :m2]], axis=1)
-                sc1, rw, a1, a2, b1, b2 = _oscorer.get_overlap_info(
-                    s1, int(q_nk[t_i]), s2, int(c_nk[t_i]),
-                    k2, self.cfg["max_shift"])
-                score[t] = sc1
-                raw[t] = rw
-                edges[t] = (a1, a2, b1, b2)
+            sc2, raw2, edges2 = self._rescore_slow(
+                qs, cs, qi[slow_t].astype(np.int32),
+                ci[slow_t].astype(np.int32))
+            score[slow_t] = sc2
+            raw[slow_t] = raw2
+            edges[slow_t] = edges2
+        return score, raw, edges
+
+    # flagged-lane dispatch quantum: bounds jit variants for the exact
+    # while-loop scorer (typical flag counts are tens of lanes)
+    SLOW_QUANTUM = 128
+
+    def _rescore_slow(self, qs, cs, q_rows, c_rows):
+        """Re-score flagged lanes with the EXACT merge automaton, on
+        device (make_score_pairs: the lax.while_loop scorer at full record
+        cap, fuzz-tested bit-identical to the oracle/C++).  Staying on
+        device beats the old host-oracle loop twice over: pulling ~100
+        rows of [S] sketch columns back through the link costs more than
+        the whole dispatch, and the Python automaton is ~ms/pair."""
+        q_dev = self._dev_store(qs)
+        c_dev = self._dev_store(cs) if cs is not qs else q_dev
+        T = len(q_rows)
+        P = self.SLOW_QUANTUM
+        T_pad = max(P, ((T + P - 1) // P) * P)
+        # padded lanes point at the guaranteed pad row (m = 0): they exit
+        # the while-loop automaton immediately
+        qq_p = np.full(T_pad, q_dev[0].shape[0] - 1, np.int32)
+        cc_p = np.full(T_pad, c_dev[0].shape[0] - 1, np.int32)
+        qq_p[:T] = q_rows
+        cc_p[:T] = c_rows
+        names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2")
+        key = ("exact", q_dev[0].shape[0], c_dev[0].shape[0], T_pad)
+        gf = self._gather_score_cache.get(key)
+        if gf is None:
+            fn = _kscorer.make_score_pairs(
+                self.cfg["max_shift"], self.cfg["ordered_sketch_size"],
+                jit=False)
+
+            def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, q_i, c_i):
+                o = fn(qoh[q_i], qop[q_i], qom[q_i], qnk[q_i],
+                       coh[c_i], cop[c_i], com[c_i], cnk[c_i])
+                return jnp.stack([o[k].astype(jnp.int32) for k in names])
+
+            gf = jax.jit(impl)
+            self._gather_score_cache[key] = gf
+        packed = np.asarray(gf(*q_dev, *c_dev, jnp.asarray(qq_p),
+                               jnp.asarray(cc_p)))[:, :T]
+        out = {n: packed[i] for i, n in enumerate(names)}
+        k2 = self.cfg["ordered_kmer_size"]
+        ok = out["ok"].astype(bool)
+        kk = out["k"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(kk > 0, out["inter"] / np.maximum(kk, 1), 0.0)
+        sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
+                       for x in j])
+        score = np.where(ok, sc, 0.0)
+        raw = np.where(ok, out["valid_cnt"].astype(np.float64), 0.0)
+        edges = np.zeros((T, 4), np.int32)
+        for n_i, name in enumerate(("a1", "a2", "b1", "b2")):
+            edges[:, n_i] = np.where(ok, out[name], 0)
+        return score, raw, edges
+
+    def _rescore_slow_host(self, qs, cs, q_rows, c_rows):
+        """Host-oracle rescore (the sharded multi-process path keeps this:
+        its row pulls ride a replicating jit and the CPU-mesh automaton
+        compile is not worth paying for a handful of lanes)."""
+        T = len(q_rows)
+        k2 = self.cfg["ordered_kmer_size"]
+        score = np.zeros(T, np.float64)
+        raw = np.zeros(T, np.float64)
+        edges = np.zeros((T, 4), np.int32)
+        q_oh, q_op, q_om, q_nk = self._pull_rows(qs, q_rows)
+        c_oh, c_op, c_om, c_nk = self._pull_rows(cs, c_rows)
+        for t_i in range(T):
+            m1 = int(q_om[t_i])
+            m2 = int(c_om[t_i])
+            s1 = np.stack([q_oh[t_i, :m1], q_op[t_i, :m1]], axis=1)
+            s2 = np.stack([c_oh[t_i, :m2], c_op[t_i, :m2]], axis=1)
+            sc1, rw, a1, a2, b1, b2 = _oscorer.get_overlap_info(
+                s1, int(q_nk[t_i]), s2, int(c_nk[t_i]),
+                k2, self.cfg["max_shift"])
+            score[t_i] = sc1
+            raw[t_i] = rw
+            edges[t_i] = (a1, a2, b1, b2)
         return score, raw, edges
 
     # ---------------- match driving ----------------

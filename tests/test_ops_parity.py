@@ -264,7 +264,7 @@ def test_fast_scorer_matches_automaton():
     pairs.append((reps[0] + reps[1] + reps[0], reps[0] + reps[2]))
     pairs.append((reps[3] * 2 + reps[4], reps[4] + reps[3]))
 
-    fast = ksc.make_score_pairs_fast(0.2, S)
+    fast = ksc.make_score_pairs_fast(0.2, S, scan_bound=None)
     slow = ksc.make_score_pairs(0.2, S)
     args = _pack_pairs(pairs, k, S)
     fo = {kk: np.asarray(v) for kk, v in fast(*args).items()}
@@ -274,6 +274,63 @@ def test_fast_scorer_matches_automaton():
             continue  # fast path defers; pipeline re-runs the automaton
         for key in ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2"):
             assert fo[key][i] == so[key][i], f"pair {i} field {key}"
+
+    # bounded-scan variant (the production default): identical on lanes it
+    # does not flag, and needs_slow is a superset of the unbounded flags
+    bounded = ksc.make_score_pairs_fast(0.2, S, scan_bound=8)
+    bo = {kk: np.asarray(v) for kk, v in bounded(*args).items()}
+    for i in range(len(pairs)):
+        if bo["needs_slow"][i]:
+            assert True  # deferred lanes re-run the automaton by contract
+            continue
+        assert not fo["needs_slow"][i]
+        for key in ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2"):
+            assert bo[key][i] == fo[key][i], f"bounded pair {i} field {key}"
+
+
+def test_fast_scorer_scan_bound_long_run_flag():
+    """Lanes with a hash run longer than scan_bound MUST be flagged
+    needs_slow (the bounded scans would silently truncate the run
+    aggregate otherwise); short-run lanes must not be flagged for the
+    run-length reason alone."""
+    S = 64
+    bound = 8
+    bounded = ksc.make_score_pairs_fast(0.2, S, scan_bound=bound, jit=False)
+
+    def mk(hashes_a, hashes_b):
+        def side(hs):
+            m = len(hs)
+            h = np.full(S, ksc.PAD_HASH, np.int32)
+            p = np.full(S, np.int32(0x7FFFFFFF), np.int32)
+            order = np.argsort(hs, kind="stable")
+            h[:m] = np.asarray(hs, np.int32)[order]
+            p[:m] = np.arange(m, dtype=np.int32)[order]
+            return h, p, np.int32(m)
+        a_h, a_p, a_m = side(hashes_a)
+        b_h, b_p, b_m = side(hashes_b)
+        args = (a_h[None], a_p[None], np.asarray([a_m]),
+                np.asarray([a_m + 10], np.int32),
+                b_h[None], b_p[None], np.asarray([b_m]),
+                np.asarray([b_m + 10], np.int32))
+        return tuple(jnp.asarray(x) for x in args)
+
+    # run of length 9 (5 + 4 across the two sides) > bound=8 -> flagged
+    long_a = [77] * 5 + list(range(100, 120))
+    long_b = [77] * 4 + list(range(200, 220))
+    out = bounded(*mk(long_a, long_b))
+    assert bool(np.asarray(out["needs_slow"])[0])
+
+    # run of length exactly 8 -> covered by the bound, not flagged
+    ok_a = [77] * 4 + list(range(100, 120))
+    ok_b = [77] * 4 + list(range(200, 220))
+    out2 = bounded(*mk(ok_a, ok_b))
+    unbounded = ksc.make_score_pairs_fast(0.2, S, scan_bound=None, jit=False)
+    out2u = unbounded(*mk(ok_a, ok_b))
+    assert (bool(np.asarray(out2["needs_slow"])[0])
+            == bool(np.asarray(out2u["needs_slow"])[0]))
+    if not np.asarray(out2["needs_slow"])[0]:
+        for key in ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2"):
+            assert np.asarray(out2[key])[0] == np.asarray(out2u[key])[0]
 
 
 def test_fast_scorer_pipeline_end_to_end(synthetic_reads):
