@@ -155,6 +155,11 @@ class ShardedOverlapper(TpuOverlapper):
         ln = self._put_sharded(lens[s:s + R])
         return self._sketch_stage(packed.shape[1], cap)(pk, ln)
 
+    def _sketch_minhash_rows(self, handle, s, rows, cap):
+        # buckets stay host-side here (chunks are device_put with row
+        # sharding per dispatch); escalation falls back to chunk redo
+        return None
+
     def _sketch_stage(self, L4: int, cap: int):
         key = ("sketch", L4, cap)
         fn = self._stages.get(key)

@@ -202,6 +202,25 @@ def _sketch_packed_jit(packed, lens, start, k1, k2, H, S, w_cap, R):
     return _sketch_core(seq, lr, k1, k2, H, S, w_cap)
 
 
+@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
+def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
+    """Stage-1 sketch ONLY, for R gathered bucket rows at a higher weight
+    cap -- the row-level escalation path (rows whose max k-mer occurrence
+    count exceeds the first rung's cap).  Skips the bottom-k and hash32
+    work, which is cap-independent."""
+    pr = packed[rows]
+    lr = lens[rows]
+    seq = _decode_2bit(pr, packed.shape[1] * 4)
+    n1 = seq.shape[1] - k1 + 1
+    valid1 = jnp.arange(n1)[None, :] < (lr[:, None] - k1 + 1)
+    hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
+    g = _minhash.sort_and_count(hi, lo, valid1)
+    w = jnp.where(g["first"], g["count"], 0)
+    active = g["first"] & (w > 0)
+    return _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
+                       g["tiebreak"], num_hashes=H, w_max=w_cap)
+
+
 @partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
 def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap):
     """uint8 ASCII variant (irregular/non-ACGT rows, filter path)."""
@@ -231,8 +250,8 @@ def _gather_cols_jit(mh, oh, op, om, pos):
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
-    def __init__(self, cfg=None, w_caps=(4, 16, 128, 512), pair_chunk: int = 512,
-                 kmer_filter=None):
+    def __init__(self, cfg=None, w_caps=(1, 4, 16, 128, 512),
+                 pair_chunk: int = 512, kmer_filter=None):
         self.cfg = dict(DEFAULTS)
         if cfg:
             self.cfg.update(cfg)
@@ -472,6 +491,25 @@ class TpuOverlapper:
                                   cfg["num_hashes"],
                                   cfg["ordered_sketch_size"], cap, R)
 
+    MINHASH_ROWQ = 64  # row quantum for the escalation row kernel
+
+    def _sketch_minhash_rows(self, handle, s: int, rows: np.ndarray,
+                             cap: int):
+        """Stage-1 sketch of chunk-local ``rows`` (chunk offset ``s`` into
+        the bucket) at weight cap ``cap``.  Returns [len(rows), H], or
+        None when row gathering is unsupported (the sharded subclass:
+        chunk redo instead)."""
+        cfg = self.cfg
+        RQ = self.MINHASH_ROWQ
+        n = len(rows)
+        n_pad = ((n + RQ - 1) // RQ) * RQ
+        rg = np.zeros(n_pad, np.int32)
+        rg[:n] = s + rows
+        mh = _sketch_minhash_rows_jit(handle[0], handle[1], jnp.asarray(rg),
+                                      cfg["kmer_size"], cfg["num_hashes"],
+                                      cap)
+        return mh[:n]
+
     def _sketch_chunk_u8(self, sub, sl, cap: int):
         cfg = self.cfg
         o = _sketch_fused_jit(jnp.asarray(sub), jnp.asarray(sl),
@@ -569,7 +607,9 @@ class TpuOverlapper:
                 chunks.append(dict(
                     out=out, idxs=row_idx[s:s + ROWS],
                     redo=lambda cap, handle=handle, s=s:
-                        self._sketch_chunk(handle, s, cap, ROWS)))
+                        self._sketch_chunk(handle, s, cap, ROWS),
+                    rows_redo=lambda cap, rows, handle=handle, s=s:
+                        self._sketch_minhash_rows(handle, s, rows, cap)))
             if len(irr_rows):
                 # rows with non-ACGT codes: uint8 side path (exact hashes)
                 ni = len(irr_rows)
@@ -597,21 +637,31 @@ class TpuOverlapper:
         else:
             nv_all = mw_all = np.zeros(0, np.int32)
 
-        # weight-cap escalation: re-run chunks containing over-cap rows
+        # weight-cap escalation: recompute the stage-1 sketch of over-cap
+        # rows at the smallest sufficient rung (row-level kernel; chunk
+        # redo where row gathering is unsupported, e.g. sharded)
         offs = np.cumsum([0] + [len(c["idxs"]) for c in chunks])
         for ci, c in enumerate(chunks):
-            mw = mw_all[offs[ci]:offs[ci + 1]]
+            mw = np.asarray(mw_all[offs[ci]:offs[ci + 1]])
             real = c["idxs"] >= 0
             need = int(mw[real].max()) if real.any() else 0
             if need <= self.w_caps[0]:
                 continue
             for cap in self.w_caps[1:]:
                 if need <= cap:
-                    c["out"] = c["redo"](cap)
                     break
             else:
                 raise RuntimeError(
                     f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+            rows = np.nonzero(real & (mw > self.w_caps[0]))[0]
+            new_mh = (c["rows_redo"](cap, rows.astype(np.int32))
+                      if "rows_redo" in c else None)
+            if new_mh is not None:
+                c["out"] = dict(c["out"])
+                c["out"]["minhash"] = c["out"]["minhash"].at[
+                    jnp.asarray(rows)].set(new_mh)
+            else:
+                c["out"] = c["redo"](cap)
 
         # entry -> concat position (irregular rows override packed rows)
         pos_of = np.full(N, -1, np.int64)

@@ -56,3 +56,42 @@ def test_headers_mode(synthetic_reads, overlapper):
     want = op.overlap_self(reads[:8], CFG, headers=headers)
     got = overlapper.overlap_self(reads[:8], headers=headers)
     assert got == want
+
+
+def test_weight_cap_row_escalation():
+    """Rows whose max k-mer occurrence count exceeds the first rung's cap
+    are re-sketched by the row-level escalation kernel and match the
+    oracle exactly (tf weights, MinHashSketch.java:109-126)."""
+    from mhap_tpu.pipeline import overlapper as OV
+    from mhap_tpu.oracle import sketch as osk
+
+    rng = np.random.default_rng(3)
+    arr = np.array(list("ACGT"))
+    reads = []
+    for _ in range(6):  # tandem repeats -> counts > 1 (escalating rows)
+        unit = "".join(arr[rng.integers(0, 4, 30)])
+        pre = "".join(arr[rng.integers(0, 4, 120)])
+        post = "".join(arr[rng.integers(0, 4, 120)])
+        reads.append(pre + unit * 6 + post)
+    for _ in range(6):  # plain rows stay on the w_cap=1 rung
+        reads.append("".join(arr[rng.integers(0, 4, 400)]))
+
+    calls = []
+    orig = OV._sketch_minhash_rows_jit
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    OV._sketch_minhash_rows_jit = spy
+    try:
+        ov = TpuOverlapper(
+            dict(num_hashes=64, min_olap_length=100, min_store_length=0))
+        store = ov.sketch_reads(reads, do_rc=False)
+    finally:
+        OV._sketch_minhash_rows_jit = orig
+    assert calls, "row escalation kernel never dispatched"
+    mh = np.asarray(store.dev("minhash"))
+    for i, r in enumerate(reads):
+        want = osk.minhash_sketch(r, 16, 64, None, 0.9)
+        assert np.array_equal(mh[i], want), f"read {i} minhash mismatch"
