@@ -173,17 +173,38 @@ def _decode_2bit(packed, L: int):
 
 def _sketch_core(seq, lens, k1, k2, H, S, w_cap):
     """Whole sketch chunk: hash128 -> weighted min-reduce; hash32 ->
-    bottom-k.  All outputs stay on device."""
+    bottom-k.  All outputs stay on device.
+
+    w_cap == 1 rung: the dedup sort (sort_and_count) is skipped entirely.
+    With every weight clamped to 1, duplicates cannot change the
+    min-reduce -- xorshift64 is a bijection, so two streams produce equal
+    values iff they start from the same 64-bit hash, i.e. value ties only
+    happen between copies of the SAME k-mer, and the position-index
+    tiebreak then selects the first occurrence exactly as the reference's
+    insertion-ordered map does (MinHashSketch.java:66-81,134-153).  Only a
+    cheap duplicate-detection sort remains, to decide escalation: flagged
+    rows report max_w = 2 (a lower bound -- the escalated rung computes
+    exact counts and may escalate again; see _sketch_entries_device)."""
     n1 = seq.shape[1] - k1 + 1
     valid1 = jnp.arange(n1)[None, :] < (lens[:, None] - k1 + 1)
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
-    g = _minhash.sort_and_count(hi, lo, valid1)
-    w = jnp.where(g["first"], g["count"], 0)
-    active = g["first"] & (w > 0)
-    n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
-    max_w = jnp.max(jnp.where(active, w, 0), axis=1)
-    sketch = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
-                         g["tiebreak"], num_hashes=H, w_max=w_cap)
+    if w_cap == 1:
+        B, n = hi.shape
+        dup = _minhash.dup_rows(hi, lo, valid1)
+        n_valid = jnp.sum(valid1, axis=1).astype(jnp.int32)
+        max_w = jnp.where(dup, jnp.int32(2), jnp.int32(1))
+        idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n))
+        sketch = _min_reduce(hi, lo, jnp.ones((B, n), jnp.int32), valid1,
+                             idx, num_hashes=H, w_max=1)
+    else:
+        g = _minhash.sort_and_count(hi, lo, valid1)
+        w = jnp.where(g["first"], g["count"], 0)
+        active = g["first"] & (w > 0)
+        n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
+        max_w = jnp.max(jnp.where(active, w, 0), axis=1)
+        sketch = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap),
+                             active, g["tiebreak"], num_hashes=H,
+                             w_max=w_cap)
     n2 = seq.shape[1] - k2 + 1
     valid2 = jnp.arange(n2)[None, :] < (lens[:, None] - k2 + 1)
     h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
@@ -207,7 +228,10 @@ def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
     """Stage-1 sketch ONLY, for R gathered bucket rows at a higher weight
     cap -- the row-level escalation path (rows whose max k-mer occurrence
     count exceeds the first rung's cap).  Skips the bottom-k and hash32
-    work, which is cap-independent."""
+    work, which is cap-independent.  Also returns the EXACT per-row max
+    weight (the first rung's max_w is only a lower bound when its cap is
+    1 and the dedup sort was skipped) so the caller can escalate further
+    when this rung's cap is still insufficient."""
     pr = packed[rows]
     lr = lens[rows]
     seq = _decode_2bit(pr, packed.shape[1] * 4)
@@ -217,8 +241,10 @@ def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
     g = _minhash.sort_and_count(hi, lo, valid1)
     w = jnp.where(g["first"], g["count"], 0)
     active = g["first"] & (w > 0)
-    return _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
-                       g["tiebreak"], num_hashes=H, w_max=w_cap)
+    max_w = jnp.max(jnp.where(active, w, 0), axis=1)
+    mh = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
+                     g["tiebreak"], num_hashes=H, w_max=w_cap)
+    return mh, max_w
 
 
 @partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
@@ -496,19 +522,20 @@ class TpuOverlapper:
     def _sketch_minhash_rows(self, handle, s: int, rows: np.ndarray,
                              cap: int):
         """Stage-1 sketch of chunk-local ``rows`` (chunk offset ``s`` into
-        the bucket) at weight cap ``cap``.  Returns [len(rows), H], or
-        None when row gathering is unsupported (the sharded subclass:
-        chunk redo instead)."""
+        the bucket) at weight cap ``cap``.  Returns ([len(rows), H] minhash,
+        [len(rows)] exact max weight), or None when row gathering is
+        unsupported (the sharded subclass: chunk redo instead)."""
         cfg = self.cfg
         RQ = self.MINHASH_ROWQ
         n = len(rows)
         n_pad = ((n + RQ - 1) // RQ) * RQ
         rg = np.zeros(n_pad, np.int32)
         rg[:n] = s + rows
-        mh = _sketch_minhash_rows_jit(handle[0], handle[1], jnp.asarray(rg),
-                                      cfg["kmer_size"], cfg["num_hashes"],
-                                      cap)
-        return mh[:n]
+        mh, mw = _sketch_minhash_rows_jit(handle[0], handle[1],
+                                          jnp.asarray(rg),
+                                          cfg["kmer_size"],
+                                          cfg["num_hashes"], cap)
+        return mh[:n], mw[:n]
 
     def _sketch_chunk_u8(self, sub, sl, cap: int):
         cfg = self.cfg
@@ -639,7 +666,11 @@ class TpuOverlapper:
 
         # weight-cap escalation: recompute the stage-1 sketch of over-cap
         # rows at the smallest sufficient rung (row-level kernel; chunk
-        # redo where row gathering is unsupported, e.g. sharded)
+        # redo where row gathering is unsupported, e.g. sharded).  The
+        # first rung's max_w may be a LOWER BOUND (w_cap=1 skips the dedup
+        # sort and reports 2 for any row with a duplicate k-mer), so after
+        # each redo the now-exact max_w is re-checked and still-over rows
+        # escalate to the next rung.
         offs = np.cumsum([0] + [len(c["idxs"]) for c in chunks])
         for ci, c in enumerate(chunks):
             mw = np.asarray(mw_all[offs[ci]:offs[ci + 1]])
@@ -647,21 +678,41 @@ class TpuOverlapper:
             need = int(mw[real].max()) if real.any() else 0
             if need <= self.w_caps[0]:
                 continue
+            if "rows_redo" in c:
+                rows = np.nonzero(real & (mw > self.w_caps[0]))[0]
+                c["out"] = dict(c["out"])
+                for cap in self.w_caps[1:]:
+                    if cap < need:
+                        continue
+                    res = c["rows_redo"](cap, rows.astype(np.int32))
+                    if res is None:
+                        break  # row gathering unsupported: chunk redo
+                    new_mh, new_mw = res
+                    c["out"]["minhash"] = c["out"]["minhash"].at[
+                        jnp.asarray(rows)].set(new_mh)
+                    new_mw = np.asarray(new_mw)
+                    over = new_mw > cap
+                    if not over.any():
+                        rows = None
+                        break
+                    rows, need = rows[over], int(new_mw[over].max())
+                else:
+                    raise RuntimeError(
+                        f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+                if rows is None or not len(rows):
+                    continue
+            # chunk redo (exact max_w comes back in out for caps > 1)
             for cap in self.w_caps[1:]:
+                if cap < need:
+                    continue
+                c["out"] = c["redo"](cap)
+                mw2 = np.asarray(c["out"]["max_w"])
+                need = int(mw2[real].max()) if real.any() else 0
                 if need <= cap:
                     break
             else:
                 raise RuntimeError(
                     f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
-            rows = np.nonzero(real & (mw > self.w_caps[0]))[0]
-            new_mh = (c["rows_redo"](cap, rows.astype(np.int32))
-                      if "rows_redo" in c else None)
-            if new_mh is not None:
-                c["out"] = dict(c["out"])
-                c["out"]["minhash"] = c["out"]["minhash"].at[
-                    jnp.asarray(rows)].set(new_mh)
-            else:
-                c["out"] = c["redo"](cap)
 
         # entry -> concat position (irregular rows override packed rows)
         pos_of = np.full(N, -1, np.int64)
