@@ -168,6 +168,7 @@ def bench_config_lognormal(n_reads=10_000):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
+    ov.overlap_self(reads)  # settling run (ladder probing)
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     steady = time.perf_counter() - t0
@@ -221,6 +222,7 @@ def bench_config_filtered(n_reads=2048):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
+    ov.overlap_self(reads)  # settling run (ladder probing)
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     steady = time.perf_counter() - t0
@@ -236,9 +238,16 @@ def bench_device(reads):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    lines = ov.overlap_self(reads)
-    steady = time.perf_counter() - t0
+    # steady state = median of 3 runs AFTER a settling run (the run right
+    # after the cold one still pays vote-ladder escalation probing and
+    # compile stragglers; from run 3 on, times are stable)
+    ov.overlap_self(reads)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lines = ov.overlap_self(reads)
+        times.append(time.perf_counter() - t0)
+    steady = sorted(times)[1]
     return len(reads) / steady, len(lines), warm, steady
 
 

@@ -76,26 +76,25 @@ def sort_and_count(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray):
 
 
 def dup_rows(hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray):
-    """Per-row flag: does any 64-bit k-mer hash occur at >= 2 valid
-    positions?  Used by the w=1 sketch rung (pipeline/overlapper.py) to
-    decide escalation WITHOUT the full dedup sort: a 2-key sort of the
-    bare (lo, hi) pairs with no carried payloads, no stability machinery
-    and no segment sums.
+    """Per-row flag: does any k-mer hash occur at >= 2 valid positions?
+    Used by the w=1 sketch rung (pipeline/overlapper.py) to decide
+    escalation WITHOUT the full dedup sort: a SINGLE-key sort of the low
+    32 hash bits, no carried payloads, no stability machinery and no
+    segment sums.
 
-    Invalid slots are remapped to per-slot-unique sentinel pairs
-    (lo=position, hi=0xFFFFFFFF) so they can never flag against each
-    other; a real hash colliding with a sentinel is ~2^-64 per pair and
-    only causes a harmless extra escalation (the escalated rung computes
-    exact counts).  Equal real pairs are true 64-bit duplicates -- which
-    is exactly the reference's notion of a repeated k-mer (the weight map
-    keys on the 64-bit hash, MinHashSketch.java:66-81)."""
+    One-sided test: equal 64-bit k-mer hashes (the reference's notion of
+    a repeated k-mer -- the weight map keys on the 64-bit hash,
+    MinHashSketch.java:66-81) always have equal ``lo``, so a duplicate is
+    never missed.  Distinct k-mers colliding in the low 32 bits
+    (~n^2/2^33 ~ 1e-3 per row at n ~ 3k) or a real lo landing on an
+    invalid-slot sentinel only cause a harmless extra escalation -- the
+    escalated rung computes exact counts and corrects the flag."""
+    del hi
     B, n = lo.shape
     pos = jnp.broadcast_to(jnp.arange(n, dtype=U32), (B, n))
     k_lo = jnp.where(valid, lo, pos)
-    k_hi = jnp.where(valid, hi, _UMAX)
-    s_lo, s_hi = jax.lax.sort((k_lo, k_hi), dimension=1, num_keys=2)
-    same = (s_lo[:, 1:] == s_lo[:, :-1]) & (s_hi[:, 1:] == s_hi[:, :-1])
-    return jnp.any(same, axis=1)
+    (s_lo,) = jax.lax.sort((k_lo,), dimension=1, num_keys=1)
+    return jnp.any(s_lo[:, 1:] == s_lo[:, :-1], axis=1)
 
 
 @partial(jax.jit, static_argnames=("num_hashes", "w_max", "unroll"))

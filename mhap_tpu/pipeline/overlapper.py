@@ -962,6 +962,10 @@ class TpuOverlapper:
             span_cap, top_k = self.VOTE_LADDER[lvl]
             QC = max(64, min(self.VOTE_CHUNK,
                              (self.VOTE_CHUNK * 32) // span_cap))
+            # right-size to the range: padding 1k queries to a 2k chunk
+            # would double the kernel work; 256-row quanta bound the
+            # compile variants
+            QC = min(QC, max(64, ((e - s + 255) // 256) * 256))
             K = min(top_k, N)
             for cs in range(s, e, QC):
                 ce = min(cs + QC, e)
