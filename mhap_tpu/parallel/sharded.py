@@ -47,7 +47,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops import scorer as _kscorer
 from ..pipeline.overlapper import (SketchStore, TpuOverlapper, _decode_2bit,
-                                   _sketch_core)
+                                   _interleave_rc, _sketch_core)
 
 I32 = jnp.int32
 
@@ -155,10 +155,18 @@ class ShardedOverlapper(TpuOverlapper):
         ln = self._put_sharded(lens[s:s + R])
         return self._sketch_stage(packed.shape[1], cap)(pk, ln)
 
+    def _sketch_chunk_rc(self, handle, s, cap, R2):
+        packed, lens = handle
+        pk = self._put_sharded(packed[s:s + R2])
+        ln = self._put_sharded(lens[s:s + R2])
+        return self._sketch_stage_rc(packed.shape[1], cap)(pk, ln)
+
     def _sketch_minhash_rows(self, handle, s, rows, cap):
         # buckets stay host-side here (chunks are device_put with row
         # sharding per dispatch); escalation falls back to chunk redo
         return None
+
+    _sketch_minhash_rows_rc = _sketch_minhash_rows
 
     def _sketch_stage(self, L4: int, cap: int):
         key = ("sketch", L4, cap)
@@ -175,6 +183,29 @@ class ShardedOverlapper(TpuOverlapper):
             def f(pk, ln):
                 seq = _decode_2bit(pk, L4 * 4)
                 return _sketch_core(seq, ln, k1, k2, H, S, cap)
+
+            self._stages[key] = fn = f
+        return fn
+
+    def _sketch_stage_rc(self, L4: int, cap: int):
+        """rc-paired sketch stage: each device interleaves its fwd block
+        with device-derived rc strands (block row sharding keeps the
+        global interleaved order)."""
+        key = ("sketch_rc", L4, cap)
+        fn = self._stages.get(key)
+        if fn is None:
+            cfg = self.cfg
+            k1, k2 = cfg["kmer_size"], cfg["ordered_kmer_size"]
+            H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P(self.axis), P(self.axis)),
+                     out_specs=P(self.axis), check_vma=False)
+            def f(pk, ln):
+                seq, lens2, start = _interleave_rc(pk, ln)
+                return _sketch_core(seq, lens2, k1, k2, H, S, cap,
+                                    start=start)
 
             self._stages[key] = fn = f
         return fn

@@ -158,22 +158,48 @@ class SketchStore:
 # ---------------- sketch kernels (jitted chunk programs) ----------------
 
 
-def _decode_2bit(packed, L: int):
-    """[R, L/4] uint8 -> [R, L] ASCII codes (device)."""
-    rep = jnp.repeat(packed, 4, axis=1)
-    sh = ((jnp.arange(L, dtype=jnp.int32) % 4) * 2).astype(jnp.uint8)
-    v = (rep >> sh[None, :]) & jnp.uint8(3)
+def _v_to_ascii(v):
     # A=65 C=67 G=71 T=84
-    codes = jnp.uint8(65) + jnp.where(
+    return jnp.uint8(65) + jnp.where(
         v == 1, jnp.uint8(2), jnp.uint8(0)) + jnp.where(
         v == 2, jnp.uint8(6), jnp.uint8(0)) + jnp.where(
         v == 3, jnp.uint8(19), jnp.uint8(0))
-    return codes
 
 
-def _sketch_core(seq, lens, k1, k2, H, S, w_cap):
+def _unpack_2bit(packed, L: int):
+    rep = jnp.repeat(packed, 4, axis=1)
+    sh = ((jnp.arange(L, dtype=jnp.int32) % 4) * 2).astype(jnp.uint8)
+    return (rep >> sh[None, :]) & jnp.uint8(3)
+
+
+def _decode_2bit(packed, L: int):
+    """[R, L/4] uint8 -> [R, L] ASCII codes (device)."""
+    return _v_to_ascii(_unpack_2bit(packed, L))
+
+
+def _decode_2bit_pair(packed, L: int):
+    """[R, L/4] packed rows holding RIGHT-aligned reads -> (fwd, rc) ASCII
+    code arrays [R, L].  The reverse complement is derived ON DEVICE (the
+    host pushes only forward strands -- halves the tunnel transfer): with
+    the read right-aligned at [L-len, L), complementing in 2-bit space
+    (3 - v) and statically flipping the whole padded row yields the rc
+    strand LEFT-aligned at [0, len) -- no per-row dynamic roll/gather."""
+    v = _unpack_2bit(packed, L)
+    return _v_to_ascii(v), _v_to_ascii(jnp.flip(jnp.uint8(3) - v, axis=1))
+
+
+def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None):
     """Whole sketch chunk: hash128 -> weighted min-reduce; hash32 ->
     bottom-k.  All outputs stay on device.
+
+    ``start`` [B] i32 (None = zeros): per-row offset of the read within
+    the padded row (device-derived rc strands sit left-aligned at 0 while
+    their forward partners are right-aligned at L-len; see
+    _decode_2bit_pair).  Valid k-mer windows are [start, start+len-k+1);
+    ordered-sketch positions are returned read-relative (window - start).
+    The min-reduce/bottom-k tiebreak stays the window index: it is
+    start + read position, monotone per row, so first-occurrence
+    semantics match the reference exactly.
 
     w_cap == 1 rung: the dedup sort (sort_and_count) is skipped entirely.
     With every weight clamped to 1, duplicates cannot change the
@@ -186,7 +212,12 @@ def _sketch_core(seq, lens, k1, k2, H, S, w_cap):
     rows report max_w = 2 (a lower bound -- the escalated rung computes
     exact counts and may escalate again; see _sketch_entries_device)."""
     n1 = seq.shape[1] - k1 + 1
-    valid1 = jnp.arange(n1)[None, :] < (lens[:, None] - k1 + 1)
+    pos1 = jnp.arange(n1)[None, :]
+    if start is None:
+        valid1 = pos1 < (lens[:, None] - k1 + 1)
+    else:
+        valid1 = ((pos1 >= start[:, None])
+                  & (pos1 < (start + lens)[:, None] - k1 + 1))
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
     if w_cap == 1:
         B, n = hi.shape
@@ -206,9 +237,17 @@ def _sketch_core(seq, lens, k1, k2, H, S, w_cap):
                              active, g["tiebreak"], num_hashes=H,
                              w_max=w_cap)
     n2 = seq.shape[1] - k2 + 1
-    valid2 = jnp.arange(n2)[None, :] < (lens[:, None] - k2 + 1)
+    pos2 = jnp.arange(n2)[None, :]
+    if start is None:
+        valid2 = pos2 < (lens[:, None] - k2 + 1)
+    else:
+        valid2 = ((pos2 >= start[:, None])
+                  & (pos2 < (start + lens)[:, None] - k2 + 1))
     h32 = _murmur3.kmer_hashes_32(seq, k2, 0)
     oh, op, om = _bottomk.bottom_sketch(h32, valid2, sketch_size=S)
+    if start is not None:
+        op = jnp.where(jnp.arange(op.shape[1])[None, :] < om[:, None],
+                       op - start[:, None], op)
     return dict(minhash=sketch, n_valid=n_valid, max_w=max_w,
                 ordered_h=oh, ordered_p=op, ordered_m=om)
 
@@ -223,20 +262,51 @@ def _sketch_packed_jit(packed, lens, start, k1, k2, H, S, w_cap, R):
     return _sketch_core(seq, lr, k1, k2, H, S, w_cap)
 
 
-@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
-def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
-    """Stage-1 sketch ONLY, for R gathered bucket rows at a higher weight
-    cap -- the row-level escalation path (rows whose max k-mer occurrence
-    count exceeds the first rung's cap).  Skips the bottom-k and hash32
-    work, which is cap-independent.  Also returns the EXACT per-row max
-    weight (the first rung's max_w is only a lower bound when its cap is
-    1 and the dedup sort was skipped) so the caller can escalate further
-    when this rung's cap is still insufficient."""
-    pr = packed[rows]
-    lr = lens[rows]
-    seq = _decode_2bit(pr, packed.shape[1] * 4)
+def _interleave_rc(packed_rows, lens_rows):
+    """[R2, W] packed right-aligned fwd rows -> ([2*R2, L] ASCII codes of
+    interleaved (fwd, rc) strands, repeated lens, per-row start offsets).
+    Row 2i is the forward strand (right-aligned, start = L - len); row
+    2i+1 is its device-derived reverse complement (left-aligned, start
+    0)."""
+    R2 = packed_rows.shape[0]
+    L = packed_rows.shape[1] * 4
+    fwd, rc = _decode_2bit_pair(packed_rows, L)
+    seq = jnp.stack([fwd, rc], axis=1).reshape(2 * R2, L)
+    lens2 = jnp.repeat(lens_rows, 2)
+    start_f = (jnp.int32(L) - lens_rows).astype(jnp.int32)
+    start = jnp.stack(
+        [start_f, jnp.zeros_like(start_f)], axis=1).reshape(2 * R2)
+    return seq, lens2, start
+
+
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap", "R2"))
+def _sketch_packed_rc_jit(packed, lens, row0, k1, k2, H, S, w_cap, R2):
+    """Sketch R2 packed FWD rows starting at ``row0`` into 2*R2 output
+    rows: each forward strand (pushed right-aligned) is paired with its
+    reverse complement derived on device -- the host never materializes
+    or transfers rc strands (SequenceSketchStreamer.java enqueues both
+    strands; here the tunnel carries one)."""
+    pr = jax.lax.dynamic_slice(packed, (row0, 0), (R2, packed.shape[1]))
+    lr = jax.lax.dynamic_slice(lens, (row0,), (R2,))
+    seq, lens2, start = _interleave_rc(pr, lr)
+    return _sketch_core(seq, lens2, k1, k2, H, S, w_cap, start=start)
+
+
+def _minhash_rows_core(seq, lr, start, k1, H, w_cap):
+    """Stage-1 sketch ONLY, for gathered rows at a higher weight cap --
+    the row-level escalation path (rows whose max k-mer occurrence count
+    exceeds the first rung's cap).  Skips the bottom-k and hash32 work,
+    which is cap-independent.  Also returns the EXACT per-row max weight
+    (the first rung's max_w is only a lower bound when its cap is 1 and
+    the dedup sort was skipped) so the caller can escalate further when
+    this rung's cap is still insufficient."""
     n1 = seq.shape[1] - k1 + 1
-    valid1 = jnp.arange(n1)[None, :] < (lr[:, None] - k1 + 1)
+    pos = jnp.arange(n1)[None, :]
+    if start is None:
+        valid1 = pos < (lr[:, None] - k1 + 1)
+    else:
+        valid1 = ((pos >= start[:, None])
+                  & (pos < (start + lr)[:, None] - k1 + 1))
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
     g = _minhash.sort_and_count(hi, lo, valid1)
     w = jnp.where(g["first"], g["count"], 0)
@@ -245,6 +315,30 @@ def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
     mh = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
                      g["tiebreak"], num_hashes=H, w_max=w_cap)
     return mh, max_w
+
+
+@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
+def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
+    pr = packed[rows]
+    lr = lens[rows]
+    seq = _decode_2bit(pr, packed.shape[1] * 4)
+    return _minhash_rows_core(seq, lr, None, k1, H, w_cap)
+
+
+@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
+def _sketch_minhash_rows_rc_jit(packed, lens, rows, k1, H, w_cap):
+    """Row escalation over an rc-paired bucket: ``rows`` index the
+    interleaved output space (2i = fwd of packed row i, 2i+1 = its rc)."""
+    fr = rows // 2
+    is_rc = (rows % 2) == 1
+    pr = packed[fr]
+    lr = lens[fr]
+    L = packed.shape[1] * 4
+    fwd, rc = _decode_2bit_pair(pr, L)
+    seq = jnp.where(is_rc[:, None], rc, fwd)
+    start = jnp.where(is_rc, jnp.int32(0),
+                      jnp.int32(L) - lr).astype(jnp.int32)
+    return _minhash_rows_core(seq, lr, start, k1, H, w_cap)
 
 
 @partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
@@ -517,6 +611,16 @@ class TpuOverlapper:
                                   cfg["num_hashes"],
                                   cfg["ordered_sketch_size"], cap, R)
 
+    def _sketch_chunk_rc(self, handle, s: int, cap: int, R2: int):
+        """R2 packed fwd rows at bucket row ``s`` -> 2*R2 interleaved
+        (fwd, rc) sketch rows; rc strands derived on device."""
+        cfg = self.cfg
+        return _sketch_packed_rc_jit(handle[0], handle[1], s,
+                                     cfg["kmer_size"],
+                                     cfg["ordered_kmer_size"],
+                                     cfg["num_hashes"],
+                                     cfg["ordered_sketch_size"], cap, R2)
+
     MINHASH_ROWQ = 64  # row quantum for the escalation row kernel
 
     def _sketch_minhash_rows(self, handle, s: int, rows: np.ndarray,
@@ -535,6 +639,23 @@ class TpuOverlapper:
                                           jnp.asarray(rg),
                                           cfg["kmer_size"],
                                           cfg["num_hashes"], cap)
+        return mh[:n], mw[:n]
+
+    def _sketch_minhash_rows_rc(self, handle, s: int, rows: np.ndarray,
+                                cap: int):
+        """Row escalation over an rc-paired bucket: ``rows`` are
+        chunk-local OUTPUT rows (interleaved space); the packed-row chunk
+        starts at fwd row ``s``, i.e. output row 2*s."""
+        cfg = self.cfg
+        RQ = self.MINHASH_ROWQ
+        n = len(rows)
+        n_pad = ((n + RQ - 1) // RQ) * RQ
+        rg = np.zeros(n_pad, np.int32)
+        rg[:n] = 2 * s + rows
+        mh, mw = _sketch_minhash_rows_rc_jit(handle[0], handle[1],
+                                             jnp.asarray(rg),
+                                             cfg["kmer_size"],
+                                             cfg["num_hashes"], cap)
         return mh[:n], mw[:n]
 
     def _sketch_chunk_u8(self, sub, sl, cap: int):
@@ -561,7 +682,14 @@ class TpuOverlapper:
             codes = np.frombuffer(r.upper().encode("ascii"), dtype=np.uint8)
             entries.append((hid, True, hdr, codes))
             if do_rc:
-                entries.append((hid, False, hdr, _rc_codes(codes)))
+                # device path: the rc entry shares the fwd byte array --
+                # the accelerator derives the rc strand itself
+                # (_sketch_packed_rc_jit); the host filter path needs the
+                # real bytes
+                entries.append((hid, False, hdr,
+                                _rc_codes(codes)
+                                if self.kmer_filter is not None
+                                else codes))
         if self.kmer_filter is not None:
             return self._sketch_entries_host(entries, do_rc)
         return self._sketch_entries_device(entries, do_rc)
@@ -601,54 +729,102 @@ class TpuOverlapper:
         ROWS = self.ROWS
         N = len(entries)
 
+        # step 2 = rc-paired scheme: entries alternate (fwd, rc) with the
+        # rc entry sharing the fwd byte array; only forward strands are
+        # packed (right-aligned) and pushed -- the device derives rc
+        # (_sketch_packed_rc_jit).  Halves the tunnel transfer + the host
+        # packing loop.
+        step = 2 if do_rc else 1
         by_bucket: dict[int, list[int]] = {}
         long_idx: list[int] = []
-        for j, e in enumerate(entries):
+        for j in range(0, N, step):
+            e = entries[j]
             if len(e[3]) >= self.LONG_READ_THRESHOLD:
-                long_idx.append(j)
+                long_idx.extend(range(j, j + step))
             else:
                 by_bucket.setdefault(_bucket_len(len(e[3])), []).append(j)
 
         chunks = []      # dicts: out (device col dict), idxs (entry idx per
         #                  row, -1 padding), redo args for cap escalation
+        R_in = ROWS // step  # packed rows per chunk (ROWS output rows)
         for blen, idxs in sorted(by_bucket.items()):
             nb = len(idxs)
-            nb_pad = ((nb + ROWS - 1) // ROWS) * ROWS
+            nb_pad = ((nb + R_in - 1) // R_in) * R_in
             codes = np.zeros((nb_pad, blen), np.uint8)
             lens = np.zeros(nb_pad, np.int32)
             for r, j in enumerate(idxs):
                 c = entries[j][3]
-                codes[r, :len(c)] = c
+                if step == 2:
+                    codes[r, blen - len(c):] = c  # right-aligned (rc flip)
+                else:
+                    codes[r, :len(c)] = c
                 lens[r] = len(c)
             m = _ACGT_MAP[codes]
-            pos_ok = np.arange(blen)[None, :] < lens[:, None]
+            if step == 2:
+                pos_ok = np.arange(blen)[None, :] >= (blen - lens[:, None])
+            else:
+                pos_ok = np.arange(blen)[None, :] < lens[:, None]
             irr_rows = np.nonzero(((m == 4) & pos_ok).any(axis=1))[0]
             m[m == 4] = 0
             packed = (m[:, 0::4] | (m[:, 1::4] << 2) | (m[:, 2::4] << 4)
                       | (m[:, 3::4] << 6)).astype(np.uint8)
             handle = self._push_bucket(packed, lens)
-            row_idx = np.full(nb_pad, -1, np.int64)
-            row_idx[:nb] = idxs
-            for s in range(0, nb_pad, ROWS):
-                out = self._sketch_chunk(handle, s, self.w_caps[0], ROWS)
-                chunks.append(dict(
-                    out=out, idxs=row_idx[s:s + ROWS],
-                    redo=lambda cap, handle=handle, s=s:
-                        self._sketch_chunk(handle, s, cap, ROWS),
-                    rows_redo=lambda cap, rows, handle=handle, s=s:
-                        self._sketch_minhash_rows(handle, s, rows, cap)))
+            # output-space row -> entry index (irregular rows blanked: the
+            # packed lanes hold garbage for them and must neither claim
+            # the entry nor drive weight escalation -- the u8 side chunk
+            # below owns them)
+            row_idx = np.full(nb_pad * step, -1, np.int64)
+            irr_set = set(int(r) for r in irr_rows)
+            for r, j in enumerate(idxs):
+                if r in irr_set:
+                    continue
+                row_idx[step * r] = j
+                if step == 2:
+                    row_idx[2 * r + 1] = j + 1
+            for s in range(0, nb_pad, R_in):
+                if step == 2:
+                    out = self._sketch_chunk_rc(handle, s, self.w_caps[0],
+                                                R_in)
+                    chunks.append(dict(
+                        out=out, idxs=row_idx[2 * s:2 * s + ROWS],
+                        redo=lambda cap, handle=handle, s=s:
+                            self._sketch_chunk_rc(handle, s, cap, R_in),
+                        rows_redo=lambda cap, rows, handle=handle, s=s:
+                            self._sketch_minhash_rows_rc(
+                                handle, s, rows, cap)))
+                else:
+                    out = self._sketch_chunk(handle, s, self.w_caps[0],
+                                             ROWS)
+                    chunks.append(dict(
+                        out=out, idxs=row_idx[s:s + ROWS],
+                        redo=lambda cap, handle=handle, s=s:
+                            self._sketch_chunk(handle, s, cap, ROWS),
+                        rows_redo=lambda cap, rows, handle=handle, s=s:
+                            self._sketch_minhash_rows(handle, s, rows, cap)))
             if len(irr_rows):
-                # rows with non-ACGT codes: uint8 side path (exact hashes)
-                ni = len(irr_rows)
+                # rows with non-ACGT codes: uint8 side path (exact hashes,
+                # host-materialized rc strands -- irregular reads are rare)
+                ni = len(irr_rows) * step
                 rq = max(8, self.D)
                 ni_pad = ((ni + rq - 1) // rq) * rq
                 sub = np.zeros((ni_pad, blen), np.uint8)
-                sub[:ni] = codes[irr_rows]
                 sl = np.zeros(ni_pad, np.int32)
-                sl[:ni] = lens[irr_rows]
-                out = self._sketch_chunk_u8(sub, sl, self.w_caps[0])
                 ridx = np.full(ni_pad, -1, np.int64)
-                ridx[:ni] = row_idx[irr_rows]
+                t = 0
+                for r in irr_rows:
+                    j = idxs[int(r)]
+                    c = entries[j][3]
+                    sub[t, :len(c)] = c
+                    sl[t] = len(c)
+                    ridx[t] = j
+                    t += 1
+                    if step == 2:
+                        rcc = _rc_codes(c)
+                        sub[t, :len(rcc)] = rcc
+                        sl[t] = len(rcc)
+                        ridx[t] = j + 1
+                        t += 1
+                out = self._sketch_chunk_u8(sub, sl, self.w_caps[0])
                 chunks.append(dict(
                     out=out, idxs=ridx,
                     redo=lambda cap, sub=sub, sl=sl:
@@ -724,10 +900,13 @@ class TpuOverlapper:
                     pos_of[j] = base + r
                     mh_valid[j] = nv_all[base + r] > 0
 
-        # long reads: host streaming path, appended as extra rows
+        # long reads: host streaming path, appended as extra rows (rc
+        # entries share the fwd byte array in the device-rc scheme, so
+        # materialize the rc strand here)
         long_rows = {}
         for j in long_idx:
-            res = self._sketch_long(entries[j][3])
+            e = entries[j]
+            res = self._sketch_long(e[3] if e[1] else _rc_codes(e[3]))
             if res is not None:
                 long_rows[j] = res
                 mh_valid[j] = True
