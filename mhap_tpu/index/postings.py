@@ -38,22 +38,12 @@ def build_postings_device(minhash: np.ndarray):
     return vals, sids
 
 
-@partial(jax.jit, static_argnames=("span_cap", "top_k", "min_matches"))
-def vote_device_packed(post_vals, post_sids, query_mh, *, span_cap: int = 16,
-                       top_k: int = 64, min_matches: int = 3):
-    """Vote counting for a query batch, packed for one-transfer readback.
+def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
+               top_k: int, min_matches: int):
+    """Shared vote kernel body; see vote_device_packed for semantics.
 
-    post_vals/post_sids: [H, N]; query_mh: [Q, H] int32.
-    Returns ONE int32 array [Q, 2*top_k + 3] laid out as
-      [cand (top_k) | votes (top_k) | overflow | hits_total | distinct]
-    where ``cand``/``votes`` are the top candidates by descending vote
-    count (votes 0 => empty slot; only counts >= min_matches surface),
-    ``overflow`` counts hits dropped by span_cap (0 => exact result),
-    ``hits_total`` is the uncapped postings-bucket mass touched by the
-    query (MinHashSearch's additionalProcessed, :174-180) and ``distinct``
-    the number of distinct candidates hit (bestSequenceHit.size(), exact
-    when overflow == 0).
-    """
+    Returns (cand [Q, top_k], votes [Q, top_k], overflow [Q],
+    hits_total [Q], distinct [Q], saturated [Q] bool)."""
     H, N = post_vals.shape
     Q = query_mh.shape[0]
 
@@ -131,8 +121,32 @@ def vote_device_packed(post_vals, post_sids, query_mh, *, span_cap: int = 16,
     top_cand = jnp.take_along_axis(s, top_idx, axis=1)
     top_cand = jnp.where(top_votes > 0, top_cand, -1)
     distinct = jnp.sum(new_run, axis=1).astype(I32)
+    saturated = (top_votes[:, -1] > 0) if top_k < N else jnp.zeros((Q,), bool)
+    return (top_cand.astype(I32), top_votes.astype(I32), overflow,
+            hits_total, distinct, saturated)
+
+
+@partial(jax.jit, static_argnames=("span_cap", "top_k", "min_matches"))
+def vote_device_packed(post_vals, post_sids, query_mh, *, span_cap: int = 16,
+                       top_k: int = 64, min_matches: int = 3):
+    """Vote counting for a query batch, packed for one-transfer readback.
+
+    post_vals/post_sids: [H, N]; query_mh: [Q, H] int32.
+    Returns ONE int32 array [Q, 2*top_k + 3] laid out as
+      [cand (top_k) | votes (top_k) | overflow | hits_total | distinct]
+    where ``cand``/``votes`` are the top candidates by descending vote
+    count (votes 0 => empty slot; only counts >= min_matches surface),
+    ``overflow`` counts hits dropped by span_cap (0 => exact result),
+    ``hits_total`` is the uncapped postings-bucket mass touched by the
+    query (MinHashSearch's additionalProcessed, :174-180) and ``distinct``
+    the number of distinct candidates hit (bestSequenceHit.size(), exact
+    when overflow == 0).
+    """
+    top_cand, top_votes, overflow, hits_total, distinct, _ = _vote_core(
+        post_vals, post_sids, query_mh, span_cap=span_cap, top_k=top_k,
+        min_matches=min_matches)
     return jnp.concatenate(
-        [top_cand.astype(I32), top_votes.astype(I32), overflow[:, None],
+        [top_cand, top_votes, overflow[:, None],
          hits_total[:, None], distinct[:, None]], axis=1)
 
 
@@ -145,3 +159,79 @@ def vote_device(post_vals, post_sids, query_mh, *, span_cap: int = 16,
     K = top_k
     return {"cand": packed[:, :K], "votes": packed[:, K:2 * K],
             "overflow": packed[:, 2 * K], "packed": packed}
+
+
+@partial(jax.jit, static_argnames=("span_cap", "top_k", "min_matches",
+                                   "msl", "to_self", "p_cap"))
+def vote_suppress_compact(post_vals, post_sids, query_mh_all, q_rows,
+                          q_hid, q_len, c_hid, c_len, *, span_cap: int,
+                          top_k: int, min_matches: int, msl: int,
+                          to_self: bool, p_cap: int):
+    """Vote + suppression rules + pair compaction, fully on device.
+
+    The host-side continuation of MinHashSearch.findMatches (:161-225)
+    without the [Q, 2*top_k] readback: candidate pairs that survive the
+    vote threshold AND the id/length suppression rules are compacted to a
+    fixed [p_cap] buffer that STAYS on device (the scorer consumes it
+    directly); only a small per-query stats block crosses the link.
+
+    query_mh_all: [Nq, H] the query store's minhash matrix (device).
+    q_rows:      [Q] int32 global query rows (-1 = padding slot).
+    q_hid/q_len: [Nq] int32 header ids / lengths of the query store.
+    c_hid/c_len: [N]  int32 header ids / lengths of the index store.
+
+    Suppression (MinHashSearch.java:199-225): drop hid==0 padding rows,
+    same-header pairs (self mode), short-short pairs, greater-id
+    long-long pairs (self mode: each pair scored once), short-candidate
+    long-query pairs (self mode).
+
+    Returns (pairs_ql [p_cap] i32 local query slots, pairs_c [p_cap] i32
+    candidate rows, stats [5, Q] i32).  stats rows: 0 overflow (span hits
+    dropped), 1 hits_total, 2 distinct, 3 top-k saturated flag;
+    row 4: slot 0 = surviving pair count (may exceed p_cap = compaction
+    overflow), rest 0.
+    """
+    Q = q_rows.shape[0]
+    N = post_vals.shape[1]
+    q_valid = q_rows >= 0
+    qr = jnp.where(q_valid, q_rows, 0)
+    qmh = query_mh_all[qr]
+    cand, votes, overflow, hits_total, distinct, saturated = _vote_core(
+        post_vals, post_sids, qmh, span_cap=span_cap, top_k=top_k,
+        min_matches=min_matches)
+
+    qg_hid = q_hid[qr][:, None]
+    qg_len = q_len[qr][:, None]
+    cc = jnp.clip(cand, 0, N - 1)
+    cd_hid = c_hid[cc]
+    cd_len = c_len[cc]
+    keep = (votes > 0) & (cand >= 0) & q_valid[:, None]
+    keep &= cd_hid > 0
+    keep &= ~((cd_len < msl) & (qg_len < msl))
+    if to_self:
+        keep &= cd_hid != qg_hid
+        keep &= ~((cd_hid > qg_hid) & (cd_len >= msl) & (qg_len >= msl))
+        keep &= ~((cd_len < msl) & (qg_len >= msl))
+
+    # compact surviving pairs (q-major order) to [p_cap] by sort
+    QK = Q * top_k
+    flat_keep = keep.reshape(QK)
+    order = jnp.arange(QK, dtype=I32)
+    key = jnp.where(flat_keep, order, QK)
+    ql_flat = order // top_k
+    c_flat = cc.reshape(QK)
+    _, s_ql, s_c = jax.lax.sort((key, ql_flat, c_flat), num_keys=1)
+    cnt = jnp.sum(flat_keep).astype(I32)
+    take = min(p_cap, QK)
+    in_cnt = jnp.arange(take, dtype=I32) < cnt
+    pairs_ql = jnp.where(in_cnt, s_ql[:take], -1)
+    pairs_c = jnp.where(in_cnt, s_c[:take], -1)
+    if take < p_cap:
+        padv = jnp.full((p_cap - take,), -1, I32)
+        pairs_ql = jnp.concatenate([pairs_ql, padv])
+        pairs_c = jnp.concatenate([pairs_c, padv])
+
+    counters = jnp.zeros((Q,), I32).at[0].set(cnt)
+    stats = jnp.stack([overflow, hits_total, distinct,
+                       saturated.astype(I32), counters])
+    return pairs_ql, pairs_c, stats

@@ -479,7 +479,12 @@ class ShardedOverlapper(TpuOverlapper):
                                        self._put_rep(cc_p)))[:, :e - s]
             outs.append(packed)
         packed = np.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
-        return {n: packed[i] for i, n in enumerate(names)}
+        out = {n: packed[i] for i, n in enumerate(names)}
+        # no in-program exact rescore here (the multi-process path keeps
+        # the host-oracle fallback); every flagged lane is both counted
+        # and re-scored by the caller
+        out["slow_flag"] = out["needs_slow"]
+        return out
 
     def _score_stage(self, Nq, Nc, Pc, same):
         key = ("score", Nq, Nc, Pc, same)

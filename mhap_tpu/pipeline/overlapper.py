@@ -746,6 +746,10 @@ class TpuOverlapper:
 
         chunks = []      # dicts: out (device col dict), idxs (entry idx per
         #                  row, -1 padding), redo args for cap escalation
+        buckets = []     # per-bucket escalation groups: one row-kernel
+        #                  dispatch covers every flagged row of the bucket
+        #                  (round trips through the device link dominate the
+        #                  escalation cost, not the kernel)
         R_in = ROWS // step  # packed rows per chunk (ROWS output rows)
         for blen, idxs in sorted(by_bucket.items()):
             nb = len(idxs)
@@ -781,26 +785,26 @@ class TpuOverlapper:
                 row_idx[step * r] = j
                 if step == 2:
                     row_idx[2 * r + 1] = j + 1
+            grp = dict(handle=handle, rc=(step == 2), chunks=[])
+            buckets.append(grp)
             for s in range(0, nb_pad, R_in):
                 if step == 2:
                     out = self._sketch_chunk_rc(handle, s, self.w_caps[0],
                                                 R_in)
-                    chunks.append(dict(
+                    c = dict(
                         out=out, idxs=row_idx[2 * s:2 * s + ROWS],
+                        base=2 * s,
                         redo=lambda cap, handle=handle, s=s:
-                            self._sketch_chunk_rc(handle, s, cap, R_in),
-                        rows_redo=lambda cap, rows, handle=handle, s=s:
-                            self._sketch_minhash_rows_rc(
-                                handle, s, rows, cap)))
+                            self._sketch_chunk_rc(handle, s, cap, R_in))
                 else:
                     out = self._sketch_chunk(handle, s, self.w_caps[0],
                                              ROWS)
-                    chunks.append(dict(
-                        out=out, idxs=row_idx[s:s + ROWS],
+                    c = dict(
+                        out=out, idxs=row_idx[s:s + ROWS], base=s,
                         redo=lambda cap, handle=handle, s=s:
-                            self._sketch_chunk(handle, s, cap, ROWS),
-                        rows_redo=lambda cap, rows, handle=handle, s=s:
-                            self._sketch_minhash_rows(handle, s, rows, cap)))
+                            self._sketch_chunk(handle, s, cap, ROWS))
+                chunks.append(c)
+                grp["chunks"].append(c)
             if len(irr_rows):
                 # rows with non-ACGT codes: uint8 side path (exact hashes,
                 # host-materialized rc strands -- irregular reads are rare)
@@ -841,43 +845,20 @@ class TpuOverlapper:
             nv_all = mw_all = np.zeros(0, np.int32)
 
         # weight-cap escalation: recompute the stage-1 sketch of over-cap
-        # rows at the smallest sufficient rung (row-level kernel; chunk
-        # redo where row gathering is unsupported, e.g. sharded).  The
-        # first rung's max_w may be a LOWER BOUND (w_cap=1 skips the dedup
-        # sort and reports 2 for any row with a duplicate k-mer), so after
-        # each redo the now-exact max_w is re-checked and still-over rows
-        # escalate to the next rung.
+        # rows at the smallest sufficient rung.  The first rung's max_w may
+        # be a LOWER BOUND (w_cap=1 skips the dedup sort and reports 2 for
+        # any row with a duplicate k-mer), so after each redo the now-exact
+        # max_w is re-checked and still-over rows escalate to the next
+        # rung.  Flagged rows are BATCHED per bucket: one row-kernel
+        # dispatch covers every flagged row of the bucket per rung (device
+        # round trips dominate this step, not the kernel); chunk redo where
+        # row gathering is unsupported (sharded subclass, u8 side chunks).
         offs = np.cumsum([0] + [len(c["idxs"]) for c in chunks])
         for ci, c in enumerate(chunks):
-            mw = np.asarray(mw_all[offs[ci]:offs[ci + 1]])
+            c["mw"] = np.asarray(mw_all[offs[ci]:offs[ci + 1]])
+
+        def chunk_redo(c, need):
             real = c["idxs"] >= 0
-            need = int(mw[real].max()) if real.any() else 0
-            if need <= self.w_caps[0]:
-                continue
-            if "rows_redo" in c:
-                rows = np.nonzero(real & (mw > self.w_caps[0]))[0]
-                c["out"] = dict(c["out"])
-                for cap in self.w_caps[1:]:
-                    if cap < need:
-                        continue
-                    res = c["rows_redo"](cap, rows.astype(np.int32))
-                    if res is None:
-                        break  # row gathering unsupported: chunk redo
-                    new_mh, new_mw = res
-                    c["out"]["minhash"] = c["out"]["minhash"].at[
-                        jnp.asarray(rows)].set(new_mh)
-                    new_mw = np.asarray(new_mw)
-                    over = new_mw > cap
-                    if not over.any():
-                        rows = None
-                        break
-                    rows, need = rows[over], int(new_mw[over].max())
-                else:
-                    raise RuntimeError(
-                        f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
-                if rows is None or not len(rows):
-                    continue
-            # chunk redo (exact max_w comes back in out for caps > 1)
             for cap in self.w_caps[1:]:
                 if cap < need:
                     continue
@@ -885,10 +866,73 @@ class TpuOverlapper:
                 mw2 = np.asarray(c["out"]["max_w"])
                 need = int(mw2[real].max()) if real.any() else 0
                 if need <= cap:
+                    return
+            raise RuntimeError(
+                f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+
+        grouped = set()
+        for grp in buckets:
+            items = []  # (chunk, chunk-local output row)
+            for c in grp["chunks"]:
+                grouped.add(id(c))
+                real = c["idxs"] >= 0
+                for r in np.nonzero(real & (c["mw"] > self.w_caps[0]))[0]:
+                    items.append((c, int(r)))
+            if not items:
+                continue
+            rows_fn = (self._sketch_minhash_rows_rc if grp["rc"]
+                       else self._sketch_minhash_rows)
+            need = max(int(c["mw"][r]) for c, r in items)
+            pend = np.arange(len(items))
+            mutated: set = set()
+            unsupported = resolved = False
+            for cap in self.w_caps[1:]:
+                if cap < need:
+                    continue
+                abs_rows = np.asarray(
+                    [items[i][0]["base"] + items[i][1] for i in pend],
+                    np.int32)
+                res = rows_fn(grp["handle"], 0, abs_rows, cap)
+                if res is None:
+                    unsupported = True  # sharded: chunk redo below
                     break
-            else:
+                new_mh, new_mw = res
+                # write rows back into their chunks (async device updates)
+                per_chunk: dict = {}
+                for t, i in enumerate(pend):
+                    c, r = items[i]
+                    per_chunk.setdefault(id(c), (c, []))[1].append((r, t))
+                for c, pairs in per_chunk.values():
+                    if id(c) not in mutated:
+                        c["out"] = dict(c["out"])
+                        mutated.add(id(c))
+                    loc = jnp.asarray([p[0] for p in pairs])
+                    sel = jnp.asarray([p[1] for p in pairs])
+                    c["out"]["minhash"] = c["out"]["minhash"].at[loc].set(
+                        new_mh[sel])
+                new_mw = np.asarray(new_mw)
+                over = new_mw > cap
+                if not over.any():
+                    resolved = True
+                    break
+                pend, need = pend[over], int(new_mw[over].max())
+            if unsupported:
+                for c in {id(i[0]): i[0] for i in items}.values():
+                    real = c["idxs"] >= 0
+                    nd = int(c["mw"][real].max()) if real.any() else 0
+                    if nd > self.w_caps[0]:
+                        chunk_redo(c, nd)
+            elif not resolved:
                 raise RuntimeError(
                     f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+
+        for c in chunks:  # u8 side chunks (no row path)
+            if id(c) in grouped:
+                continue
+            real = c["idxs"] >= 0
+            need = int(c["mw"][real].max()) if real.any() else 0
+            if need > self.w_caps[0]:
+                chunk_redo(c, need)
 
         # entry -> concat position (irregular rows override packed rows)
         pos_of = np.full(N, -1, np.int64)
@@ -1224,6 +1268,56 @@ class TpuOverlapper:
     # intermediates (repeat-heavy datasets can produce hundreds of
     # thousands of candidate pairs)
     SCORE_DISPATCH_MAX = 16384
+    # flagged lanes re-scored by the exact automaton INSIDE the fast
+    # dispatch (compacted to this many slots): a separate exact dispatch
+    # costs ~100ms in link round trips + program launch, the in-program
+    # automaton on <=128 compacted lanes costs ~nothing when no lane is
+    # flagged (pad rows exit the while-loop immediately).  Overflow lanes
+    # (rank >= cap) keep their needs_slow flag and take the separate
+    # dispatch -- rare (slow rates are ~1% of pairs).
+    SLOW_INLINE_CAP = 128
+
+    SCORE_NAMES = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2",
+                   "needs_slow", "slow_flag")
+
+    def _build_score_body(self, T_static: int):
+        """Traceable gather+score body: fast pass + IN-PROGRAM exact
+        automaton on the first SLOW_INLINE_CAP flagged lanes (compacted by
+        sort).  Returns fn(q_cols..., c_cols..., qi, ci) -> dict of [T]
+        arrays (SCORE_NAMES keys)."""
+        fn = self._score_fast
+        exact_fn = _kscorer.make_score_pairs(
+            self.cfg["max_shift"], self.cfg["ordered_sketch_size"],
+            jit=False)
+        cap_s = min(self.SLOW_INLINE_CAP, T_static)
+        ex_names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2")
+
+        def body(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
+            out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
+                     coh[ci], cop[ci], com[ci], cnk[ci])
+            ns = out["needs_slow"]
+            Tp = qi.shape[0]
+            # compact the first cap_s flagged lanes (lane order)
+            ranks = jnp.cumsum(ns.astype(jnp.int32)) - 1
+            handled = ns & (ranks < cap_s)
+            lane = jnp.arange(Tp, dtype=jnp.int32)
+            slow_lanes = jax.lax.sort(
+                jnp.where(handled, lane, Tp))[:cap_s]
+            pad = slow_lanes >= Tp
+            sl = jnp.where(pad, 0, slow_lanes)
+            qsl = jnp.where(pad, qoh.shape[0] - 1, qi[sl])
+            csl = jnp.where(pad, coh.shape[0] - 1, ci[sl])
+            ex = exact_fn(qoh[qsl], qop[qsl], qom[qsl], qnk[qsl],
+                          coh[csl], cop[csl], com[csl], cnk[csl])
+            tgt = jnp.where(pad, Tp, slow_lanes)
+            for k in ex_names:
+                out[k] = out[k].at[tgt].set(
+                    ex[k].astype(out[k].dtype), mode="drop")
+            out["slow_flag"] = ns
+            out["needs_slow"] = ns & ~handled
+            return out
+
+        return body
 
     def _score_dispatch(self, qs, cs, qq, cc):
         """Gather+score on device, chunked to SCORE_DISPATCH_MAX lanes;
@@ -1233,18 +1327,17 @@ class TpuOverlapper:
         c_dev = self._dev_store(cs) if cs is not qs else q_dev
         T = len(qq)
         P = self.pair_chunk
-        names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2",
-                 "needs_slow")
+        names = self.SCORE_NAMES
 
         def run(qq_p, cc_p):
             key = (q_dev[0].shape[0], c_dev[0].shape[0], len(qq_p))
             gf = self._gather_score_cache.get(key)
             if gf is None:
-                fn = self._score_fast
+                body = self._build_score_body(len(qq_p))
 
                 def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
-                    out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
-                             coh[ci], cop[ci], com[ci], cnk[ci])
+                    out = body(qoh, qop, qom, qnk, coh, cop, com, cnk,
+                               qi, ci)
                     return jnp.stack([out[k].astype(jnp.int32)
                                       for k in names])
 
@@ -1267,6 +1360,29 @@ class TpuOverlapper:
         packed = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         return {n: packed[i] for i, n in enumerate(names)}
 
+    def _identity_scores(self, out: dict):
+        """Integer scorer outputs -> (score, raw, edges) host arrays.
+
+        The mash-identity conversion runs as scalar math.exp/log per
+        DISTINCT (inter, k) pair: bit-identical to the oracle/Java double
+        path (numpy's SIMD exp/log may differ by 1 ulp) at a few dozen
+        scalar evaluations instead of one per lane."""
+        k2 = self.cfg["ordered_kmer_size"]
+        ok = out["ok"].astype(bool)
+        kk = np.maximum(out["k"], 1)
+        pair_key = out["inter"].astype(np.int64) * 4096 + kk
+        uniq, inv = np.unique(pair_key, return_inverse=True)
+        sc_u = np.array([_oscorer.jaccard_to_identity(
+            float(u // 4096) / float(u % 4096), k2) for u in uniq])
+        sc = sc_u[inv]
+        score = np.where(ok, sc, 0.0)
+        raw = np.where(ok, out["valid_cnt"].astype(np.float64), 0.0)
+        T = len(score)
+        edges = np.zeros((T, 4), np.int32)
+        for n, name in enumerate(("a1", "a2", "b1", "b2")):
+            edges[:, n] = np.where(ok, out[name], 0)
+        return score, raw, edges
+
     def score_pairs(self, qs: SketchStore, cs: SketchStore,
                     qi: np.ndarray, ci: np.ndarray):
         """Batched stage-2 scoring of (qs[qi[t]], cs[ci[t]]) pairs.
@@ -1278,31 +1394,17 @@ class TpuOverlapper:
 
         Returns (score float64 [T], raw float64 [T], edges int32 [T, 4])."""
         T = len(qi)
-        k2 = self.cfg["ordered_kmer_size"]
-        score = np.zeros(T, np.float64)
-        raw = np.zeros(T, np.float64)
-        edges = np.zeros((T, 4), np.int32)
         if T == 0:
-            return score, raw, edges
+            return (np.zeros(0, np.float64), np.zeros(0, np.float64),
+                    np.zeros((0, 4), np.int32))
         out = self._score_dispatch(qs, cs, qi.astype(np.int32),
                                    ci.astype(np.int32))
-        ok = out["ok"].astype(bool)
-        kk = out["k"]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            j = np.where(kk > 0, out["inter"] / np.maximum(kk, 1), 0.0)
-        # scalar math.exp/log per pair: bit-identical to the oracle/Java
-        # double path (numpy's SIMD exp/log may differ by 1 ulp)
-        sc = np.array([_oscorer.jaccard_to_identity(float(x), k2)
-                       for x in j])
-        score[:] = np.where(ok, sc, 0.0)
-        raw[:] = np.where(ok, out["valid_cnt"].astype(np.float64), 0.0)
-        for n, name in enumerate(("a1", "a2", "b1", "b2")):
-            edges[:, n] = np.where(ok, out[name], 0)
+        score, raw, edges = self._identity_scores(out)
 
-        ns = out["needs_slow"].astype(bool)
+        self.slow_pair_count += int(out["slow_flag"].sum())
+        ns = out["needs_slow"].astype(bool)  # inline-cap overflow only
         if ns.any():
             slow_t = np.nonzero(ns)[0]
-            self.slow_pair_count += len(slow_t)
             sc2, raw2, edges2 = self._rescore_slow(
                 qs, cs, qi[slow_t].astype(np.int32),
                 ci[slow_t].astype(np.int32))
@@ -1418,18 +1520,220 @@ class TpuOverlapper:
     def _gather_rows_jit(mh, rows):
         return mh[rows]
 
+    def _dev_meta(self, store: SketchStore):
+        """Device (header_id, length) int32 columns for on-device
+        suppression; cached on the store."""
+        m = getattr(store, "_dev_meta_cols", None)
+        if m is None:
+            hid = store.header_id
+            if len(hid) and int(hid.max()) >= 2 ** 31:
+                raise ValueError("header ids exceed int32 (device path)")
+            m = (jnp.asarray(hid.astype(np.int32)),
+                 jnp.asarray(store.length.astype(np.int32)))
+            store._dev_meta_cols = m
+        return m
+
+    # pair-buffer compaction capacity of the fused vote dispatch; pairs
+    # beyond it force a query-range split (never silently dropped)
+    PAIR_CAP = 16384
+    # score slices are padded to this quantum (bounds compile variants)
+    SCORE_SLICE_QUANTUM = 2048
+
+    def _score_slice(self, q_dev, c_dev, rows_dev, pql, pc, base: int,
+                     size: int):
+        """One score dispatch over pairs [base, base+size) of the DEVICE
+        pair buffer (from vote_suppress_compact; -1 entries are padding).
+        Returns the packed [12, size] device array WITHOUT syncing -- the
+        caller reads it back after checking the vote stats, so speculative
+        dispatches on chunks that escalate are simply dropped."""
+        key = ("slice", q_dev[0].shape[0], c_dev[0].shape[0], size)
+        gf = self._gather_score_cache.get(key)
+        if gf is None:
+            body = self._build_score_body(size)
+            names = self.SCORE_NAMES
+
+            def impl(qoh, qop, qom, qnk, coh, cop, com, cnk,
+                     q_rows, pql, pc, base):
+                sub_ql = jax.lax.dynamic_slice(pql, (base,), (size,))
+                sub_c = jax.lax.dynamic_slice(pc, (base,), (size,))
+                realm = sub_ql >= 0
+                Qn = q_rows.shape[0]
+                qg = q_rows[jnp.clip(sub_ql, 0, Qn - 1)]
+                qi = jnp.where(realm, qg, qoh.shape[0] - 1)
+                ci = jnp.where(realm, sub_c, coh.shape[0] - 1)
+                out = body(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci)
+                return jnp.stack(
+                    [out[k].astype(jnp.int32) for k in names]
+                    + [sub_ql, sub_c])
+
+            gf = jax.jit(impl)
+            self._gather_score_cache[key] = gf
+        return gf(*q_dev, *c_dev, rows_dev, pql, pc, jnp.int32(base))
+
+    def _find_matches_device(self, index, queries: SketchStore,
+                             q_sel: np.ndarray, to_self: bool) -> list[str]:
+        """Fused device path: vote + suppression + pair compaction in one
+        dispatch (index/postings.vote_suppress_compact), pairs handed to
+        the scorer AS DEVICE ARRAYS (no [Q, 2K] vote readback, no pair
+        re-push), score dispatched SPECULATIVELY before the vote stats
+        sync (escalating chunks just drop the in-flight result).  Per
+        steady chunk the link carries: one small rows push, one [5, Q]
+        stats readback, one packed score readback."""
+        from ..index.postings import vote_suppress_compact
+
+        kind, handle, store = index
+        cfg = self.cfg
+        mm = cfg["num_min_matches"]
+        msl = int(cfg["min_store_length"])
+        qmh_all = queries.dev("minhash")
+        q_hid, q_len = self._dev_meta(queries)
+        c_hid, c_len = self._dev_meta(store)
+        q_dev = self._dev_store(queries)
+        c_dev = self._dev_store(store) if store is not queries else q_dev
+        N = len(store)
+        lines: list[str] = []
+        if not hasattr(self, "_vote_level"):
+            self._vote_level = 0
+        if not hasattr(self, "_score_hint"):
+            self._score_hint = self.SCORE_SLICE_QUANTUM
+        SQ = self.SCORE_SLICE_QUANTUM
+
+        def host_range(s, e):
+            postings = getattr(store, "_host_postings", None)
+            if postings is None:
+                postings = self.build_postings(store)
+                store._host_postings = postings
+            lines.extend(self._find_matches_host(
+                ("host", postings, store), queries, q_sel[s:e], to_self))
+
+        def score_ranges(upto):
+            """Slice plan covering pairs [0, upto): hint-sized speculative
+            head + remainder slices."""
+            plan = []
+            b = 0
+            while b < upto:
+                size = min(max(self._score_hint, SQ),
+                           self.SCORE_DISPATCH_MAX)
+                size = min(size, ((upto - b + SQ - 1) // SQ) * SQ)
+                plan.append((b, size))
+                b += size
+            return plan
+
+        def run_range(s, e, lvl):
+            if lvl >= len(self.VOTE_LADDER):
+                host_range(s, e)
+                return
+            span_cap, top_k = self.VOTE_LADDER[lvl]
+            QC = max(64, min(self.VOTE_CHUNK,
+                             (self.VOTE_CHUNK * 32) // span_cap))
+            QC = min(QC, max(64, ((e - s + 255) // 256) * 256))
+            K = min(top_k, N)
+            for cs in range(s, e, QC):
+                ce = min(cs + QC, e)
+                t0 = time.perf_counter()
+                rows = np.full(QC, -1, np.int32)
+                rows[:ce - cs] = q_sel[cs:ce]
+                rows_dev = jnp.asarray(rows)
+                pql, pc, st = vote_suppress_compact(
+                    handle[0], handle[1], qmh_all, rows_dev, q_hid, q_len,
+                    c_hid, c_len, span_cap=span_cap, top_k=K,
+                    min_matches=mm, msl=msl, to_self=bool(to_self),
+                    p_cap=self.PAIR_CAP)
+                # speculative score of the hint-sized head
+                head = score_ranges(min(self._score_hint, self.PAIR_CAP))
+                packs = {b: self._score_slice(q_dev, c_dev, rows_dev,
+                                              pql, pc, b, sz)
+                         for b, sz in head}
+                sizes = dict(head)
+                st_np = np.asarray(st)
+                self.stats["minhash_search_time"] += (
+                    time.perf_counter() - t0)
+                nq = ce - cs
+                if st_np[0, :nq].max(initial=0) > 0 or \
+                        st_np[3, :nq].max(initial=0) > 0:
+                    run_range(cs, ce, lvl + 1)  # in-flight scores dropped
+                    continue
+                self._vote_level = lvl
+                cnt = int(st_np[4, 0])
+                self.stats["elements_processed"] += int(st_np[1, :nq].sum())
+                self.stats["sequences_hit"] += int(st_np[2, :nq].sum())
+                if cnt > self.PAIR_CAP:
+                    # compaction overflow: split the query range (recurse
+                    # at the same ladder level), never drop pairs
+                    if ce - cs >= 128:
+                        h = (cs + ce) // 2
+                        run_range(cs, h, lvl)
+                        run_range(h, ce, lvl)
+                    else:
+                        host_range(cs, ce)
+                    continue
+                t0 = time.perf_counter()
+                for b, sz in score_ranges(cnt):
+                    if b not in packs or sizes[b] != sz:
+                        packs[b] = self._score_slice(
+                            q_dev, c_dev, rows_dev, pql, pc, b, sz)
+                        sizes[b] = sz
+                self._score_hint = min(
+                    self.SCORE_DISPATCH_MAX,
+                    max(SQ, ((cnt + SQ - 1) // SQ) * SQ))
+                self.stats["sequences_fully_compared"] += cnt
+                got = 0
+                for b, sz in sorted(sizes.items()):
+                    if got >= cnt:
+                        break
+                    packed = np.asarray(packs[b])
+                    take = min(cnt - got, sz)
+                    out = {n: packed[i, :take]
+                           for i, n in enumerate(self.SCORE_NAMES)}
+                    sub_ql = packed[len(self.SCORE_NAMES), :take]
+                    sub_c = packed[len(self.SCORE_NAMES) + 1, :take]
+                    got += take
+                    score, raw, edges = self._identity_scores(out)
+                    self.slow_pair_count += int(out["slow_flag"].sum())
+                    qg = rows[sub_ql]
+                    ns = out["needs_slow"].astype(bool)
+                    if ns.any():
+                        slow_t = np.nonzero(ns)[0]
+                        sc2, raw2, edges2 = self._rescore_slow(
+                            queries, store, qg[slow_t].astype(np.int32),
+                            sub_c[slow_t].astype(np.int32))
+                        score[slow_t] = sc2
+                        raw[slow_t] = raw2
+                        edges[slow_t] = edges2
+                    acc = score >= cfg["threshold"]
+                    self.stats["matches_processed"] += int(acc.sum())
+                    lines.extend(self._format(
+                        queries, store, qg[acc], sub_c[acc],
+                        score[acc], raw[acc], edges[acc]))
+                self.stats["sort_merge_time"] += time.perf_counter() - t0
+
+        run_range(0, len(q_sel), self._vote_level)
+        return lines
+
     def _find_matches(self, store: SketchStore, index, queries: SketchStore,
                       q_sel: np.ndarray, to_self: bool) -> list[str]:
-        """Vote + suppression rules + scoring (MinHashSearch.java:149-251)."""
-        cfg = self.cfg
+        """Vote + suppression rules + scoring (MinHashSearch.java:149-251).
+
+        Dispatches to the fused device path when the index is
+        device-resident; the host-postings path below is the exact
+        fallback (CPU backend, ladder exhaustion, sharded subclass)."""
         if len(q_sel) == 0:
             return []
         store = index[2]  # candidate row ids refer to the index's store
+        self.stats["sequences_searched"] += len(q_sel)
+        if index[0] == "dev":
+            return self._find_matches_device(index, queries, q_sel, to_self)
+        return self._find_matches_host(index, queries, q_sel, to_self)
+
+    def _find_matches_host(self, index, queries: SketchStore,
+                           q_sel: np.ndarray, to_self: bool) -> list[str]:
+        """Host-routed vote + suppression + scoring."""
+        cfg = self.cfg
+        store = index[2]
         t0 = time.perf_counter()
         q_idx, cand, votes, hits_total, distinct = self._vote_dispatch(
             index, queries, q_sel)
         self.stats["minhash_search_time"] += time.perf_counter() - t0
-        self.stats["sequences_searched"] += len(q_sel)
         self.stats["elements_processed"] += hits_total
         self.stats["sequences_hit"] += distinct
         if len(q_idx) == 0:
