@@ -567,9 +567,135 @@ def _sorted_pair_structure(a_h, a_p, a_m, b_h, b_p, b_m):
     return _sorted_pair_structure_sort(a_h, a_p, a_m, b_h, b_p, b_m)
 
 
+def _replay_runs(st, okv, amb, median, abs_max, A: int, RB: int):
+    """EXACT bounded replay of the merge automaton inside ambiguous runs.
+
+    amb: [n2] bool flags at run-representative (first) elements whose
+    in-run cursor dynamics the segmented scans cannot reproduce
+    (interior window-invalid entries / first-pair shift retries).  The
+    first A flagged runs are replayed with a statically unrolled
+    2*RB-step simulation of recordMatchingKmers (:397-516) restricted to
+    the run's <= RB entries; each run is independent because a record
+    requires hash equality, so once either cursor leaves a run the other
+    side drains without recording.
+
+    Returns (amb_idx [A] master indices (n2 = unused slot),
+    rc [A] record counts, rec1/rec2 [A, RB] recorded (pos1, pos2) in
+    automaton order, overflow [] bool -- more than A ambiguous runs)."""
+    p, tag, real, first = st["p"], st["tag"], st["real"], st["first"]
+    n2 = p.shape[0]
+    idx = jnp.arange(n2, dtype=I32)
+    ranks = jnp.cumsum(amb.astype(I32)) - 1
+    sel = amb & (ranks < A)
+    amb_idx = jax.lax.sort(jnp.where(sel, idx, n2))[:A]
+    overflow = jnp.sum(amb.astype(I32)) > A
+
+    # extract the A run windows by SORT, not gather (computed gathers
+    # cost ~5x a same-width sort here): each real element learns its
+    # window id by a run-bounded doubling fill from its run head, gets a
+    # dense key win*RB + offset, and two small filler sorts place the
+    # elements into an offset-aligned [A, RB] block.
+    rep_idx = jax.lax.cummax(jnp.where(first, idx, -1))
+    BIGW = jnp.int32(A)
+    win = jnp.where(first & sel, ranks, BIGW)
+    d = 1
+    while d < RB:
+        prev_rep = jnp.concatenate([jnp.full((d,), -2, I32), rep_idx[:-d]])
+        prev_win = jnp.concatenate([jnp.full((d,), BIGW, I32), win[:-d]])
+        win = jnp.where(prev_rep == rep_idx,
+                        jnp.minimum(win, prev_win), win)
+        d *= 2
+    offset = idx - rep_idx
+    M = A * RB
+    key = jnp.where(real & (win < A) & (offset < RB),
+                    win * RB + offset, M + idx)
+    meta = tag + 2 * okv.astype(I32)  # bit0 = tag, bit1 = window-valid
+    k_s, p_s, m_s = jax.lax.sort((key, p, meta), num_keys=1)
+    # dense placement: real prefix + M fillers; first-of-key wins
+    Mp = min(M, n2)
+    kk = jnp.concatenate([k_s[:Mp], jnp.arange(M, dtype=I32)])
+    ff = jnp.concatenate([jnp.zeros((Mp,), I32), jnp.ones((M,), I32)])
+    pp = jnp.concatenate([p_s[:Mp], jnp.zeros((M,), I32)])
+    mm = jnp.concatenate([m_s[:Mp], jnp.full((M,), -1, I32)])
+    k2_, _, p2_, m2_ = jax.lax.sort((kk, ff, pp, mm), num_keys=2)
+    first_k = jnp.concatenate([jnp.ones((1,), bool), k2_[1:] != k2_[:-1]])
+    sel_k = first_k & (k2_ < M)
+    order = jnp.where(sel_k, k2_, M + jnp.arange(Mp + M, dtype=I32))
+    _, pd, md = jax.lax.sort((order, p2_, m2_), num_keys=1)
+    g_p = pd[:M].reshape(A, RB)
+    g_m = md[:M].reshape(A, RB)
+    in_run = g_m >= 0
+    g_tag = jnp.where(in_run, g_m & 1, -1)
+    g_ok = in_run & (((g_m >> 1) & 1) == 1)
+    ma = jnp.sum((in_run & (g_tag == 0)).astype(I32), axis=1)
+    mb = jnp.sum((in_run & (g_tag == 1)).astype(I32), axis=1)
+
+    # ext[d]: last index reachable from d extending over consecutive
+    # valid same-side in-run entries (reverse static scan)
+    exts = [None] * RB
+    exts[RB - 1] = jnp.full((A,), RB - 1, I32)
+    for d in range(RB - 2, -1, -1):
+        chain = (in_run[:, d + 1] & (g_tag[:, d + 1] == g_tag[:, d])
+                 & g_ok[:, d + 1])
+        exts[d] = jnp.where(chain, exts[d + 1], d)
+    g_ext = jnp.stack(exts, axis=1)  # [A, RB]
+
+    def sel8(arr, i):
+        """arr[:, i] via a static select chain (no computed gather)."""
+        out = arr[:, 0]
+        for d in range(1, RB):
+            out = jnp.where(i == d, arr[:, d], out)
+        return out
+
+    i = jnp.zeros((A,), I32)          # side-0 cursor: in [0, ma)
+    j = ma                            # side-1 cursor: in [ma, ma+mb)
+    rc = jnp.zeros((A,), I32)
+    rec1 = jnp.full((A, RB), _IMAX, I32)
+    rec2 = jnp.full((A, RB), _IMAX, I32)
+    slot_r = jnp.arange(RB, dtype=I32)[None, :]
+
+    def write(buf, at, val, cond):
+        return jnp.where((slot_r == at[:, None]) & cond[:, None],
+                         val[:, None], buf)
+
+    # each step advances >= 1 cursor and the run holds <= RB entries, so
+    # RB steps exhaust every run
+    for _step in range(RB):
+        active = (i < ma) & (j < ma + mb)
+        a_p = sel8(g_p, i)
+        a_ok = sel8(g_ok.astype(I32), i) == 1
+        b_p = sel8(g_p, j)
+        b_ok = sel8(g_ok.astype(I32), j) == 1
+        skip_a = active & ~a_ok
+        skip_b = active & a_ok & ~b_ok
+        diff = b_p - a_p - median
+        both = active & a_ok & b_ok
+        sf1 = both & (diff > abs_max)
+        sf2 = both & (diff < -abs_max)
+        rec = both & ~sf1 & ~sf2
+        il = sel8(g_ext, i)
+        jl = sel8(g_ext, j)
+        al_p = sel8(g_p, il)
+        bl_p = sel8(g_p, jl)
+        moved = rec & ((il != i) | (jl != j))
+        rec1 = write(rec1, rc, a_p, rec)
+        rec2 = write(rec2, rc, b_p, rec)
+        rc1 = rc + rec.astype(I32)
+        rec1 = write(rec1, rc1, al_p, moved)
+        rec2 = write(rec2, rc1, bl_p, moved)
+        rc = rc1 + moved.astype(I32)
+        i = jnp.where(rec, il + 1, i + (skip_a | sf1).astype(I32))
+        j = jnp.where(rec, jl + 1, j + (skip_b | sf2).astype(I32))
+
+    # unused window slots never fill (no head wrote their rank): ma=mb=0
+    # keeps their rc at 0
+    return amb_idx, rc, rec1, rec2, overflow
+
+
 def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
                     cap: int | None, *, pass1: bool = False,
-                    max_span: int | None = None):
+                    max_span: int | None = None,
+                    replay_budget: int = 8):
     """Scan-based recordMatchingKmers pass on the master structure.
 
     The merge automaton's behavior is per-hash-run local: for each hash
@@ -585,8 +711,11 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
       (b) the first-pair shift check fails while the advancing side has
           more than one valid entry in the run (the automaton retries
           within the run).
-    Those lanes are flagged (`needs_slow`) and re-scored with the exact
-    automaton on the host; all others are bit-exact here.
+    Runs in those cases are AMBIGUOUS and re-scored exactly, in program,
+    by a statically-unrolled bounded replay (_replay_runs) over the first
+    ``replay_budget`` such runs; only lanes with MORE ambiguous runs than
+    the budget flag ``needs_slow`` (plus run-length/capacity overflows
+    handled by the caller).
 
     Returns (pos1 [cap], pos2 [cap], cnt, needs_slow); with cap=None
     (shifts-only mode) returns (shifts [2*n2], None, cnt, needs_slow)
@@ -615,13 +744,6 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
         "lp1": (jnp.where(okv & t0, p, -_IMAX - 1), "max"),
         "lp2": (jnp.where(okv & t1, p, -_IMAX - 1), "max"),
     }
-    if not pass1:
-        leaves.update({
-            "i1min": (jnp.where(okv & t0, idx, _IMAX), "min"),
-            "i1max": (jnp.where(okv & t0, idx, -1), "max"),
-            "i2min": (jnp.where(okv & t1, idx, _IMAX), "min"),
-            "i2max": (jnp.where(okv & t1, idx, -1), "max"),
-        })
     agg = seg_suffix_scan(leaves, last, max_span)
 
     # evaluate at run representatives (first element of each run)
@@ -629,33 +751,54 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
     if pass1:
         needs_slow = jnp.zeros((), bool)
         sf_hi = sf_lo = jnp.zeros((n2,), bool)
+        amb = None
     else:
-        # interior window-invalid entries: per-side element span != valid
-        # count (side blocks are contiguous and pos-ascending after the
-        # master sort)
-        bad1 = (agg["i1max"] - agg["i1min"] + 1) != agg["c1"]
-        bad2 = (agg["i2max"] - agg["i2min"] + 1) != agg["c2"]
+        # note: interior window-invalid entries are IMPOSSIBLE -- side
+        # entries ascend by position within a run (master sort) and the
+        # window is one interval, so invalid entries form a prefix and/or
+        # suffix and the automaton's extension always reaches the last
+        # valid entry.  The only in-run dynamics beyond the scan's
+        # first/last model are shift retries (recordMatchingKmers
+        # :487-499): first-pair shift outside the bound with >1 valid
+        # entry on the advancing side.  Those runs are replayed exactly
+        # below.
         shift = agg["fp2"] - agg["fp1"]
         diff = shift - median
         sf_hi = diff > abs_max
         sf_lo = diff < -abs_max
-        flag = valid_run & ((sf_hi & (agg["c1"] > 1))
-                            | (sf_lo & (agg["c2"] > 1)) | bad1 | bad2)
-        needs_slow = jnp.any(flag)
+        amb = valid_run & ((sf_hi & (agg["c1"] > 1))
+                           | (sf_lo & (agg["c2"] > 1)))
+        needs_slow = jnp.zeros((), bool)
 
     rec_first = valid_run & ~sf_hi & ~sf_lo
     moved = (agg["lp1"] != agg["fp1"]) | (agg["lp2"] != agg["fp2"])
+    if amb is not None:
+        rec_first = rec_first & ~amb
     rec_last = rec_first & moved
     rc = rec_first.astype(I32) + rec_last.astype(I32)
-    cnt = jnp.sum(rc).astype(I32)
     if cap is None:
         # shifts-only mode (pass 1): the caller needs just the record
         # count and the shift median, so skip the compaction sort and
-        # return the wide masked shift array (records padded +MAX)
-        shifts = jnp.concatenate([
-            jnp.where(rec_first, agg["fp2"] - agg["fp1"], _IMAX),
-            jnp.where(rec_last, agg["lp2"] - agg["lp1"], _IMAX)])
+        # return an [n2] masked shift array: the first-pair shift lives
+        # at the run representative and the last-pair shift at rep+1 --
+        # a rec_last run has >= 2 elements, so rep+1 is inside the same
+        # run and never itself a representative.  Halves the caller's
+        # median sort width vs a [2*n2] concat.
+        cnt = jnp.sum(rc).astype(I32)
+        shifts = jnp.where(rec_first, agg["fp2"] - agg["fp1"], _IMAX)
+        rl_s = jnp.concatenate([jnp.zeros((1,), bool), rec_last[:-1]])
+        last_sh = jnp.concatenate(
+            [jnp.full((1,), _IMAX, I32), (agg["lp2"] - agg["lp1"])[:-1]])
+        shifts = jnp.where(rl_s, last_sh, shifts)
         return shifts, None, cnt, needs_slow
+
+    if amb is not None:
+        RB = max_span if max_span is not None else 8
+        amb_idx, rc_r, rec1_r, rec2_r, r_over = _replay_runs(
+            st, okv, amb, median, abs_max, replay_budget, RB)
+        needs_slow = needs_slow | r_over
+        rc = rc.at[amb_idx].set(rc_r, mode="drop")
+    cnt = jnp.sum(rc).astype(I32)
     base = jnp.cumsum(rc) - rc
     # record-capacity overflow (cap may be < 2S to shrink the shift/sort
     # widths): flagged lanes re-run exactly on the host
@@ -663,14 +806,30 @@ def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
 
     # compact records to [cap] BY SORT, not scatter: computed-index
     # scatters dominate the scorer on TPU (~10x the cost of a lax.sort of
-    # the same width).  Each run representative carries up to two records
-    # (first pair at slot `base`, last pair at `base + 1`); sorting the
-    # 2*n2 (slot, p1, p2) triples by slot packs them into the record
-    # buffer prefix in target order.
-    key = jnp.concatenate([jnp.where(rec_first, base, n2 + cap),
-                           jnp.where(rec_last, base + 1, n2 + cap)])
-    v1 = jnp.concatenate([agg["fp1"], agg["lp1"]])
-    v2 = jnp.concatenate([agg["fp2"], agg["lp2"]])
+    # the same width).  Each run representative carries its first-pair
+    # record (key `base`) and parks the last-pair record on the NEXT
+    # element (key `base + 1`; rep+1 is inside the run whenever rec_last
+    # -- see the shifts-only branch), keeping the sort [n2] wide instead
+    # of [2*n2].  Replayed runs carry up to RB records keyed base + slot.
+    rl_s = jnp.concatenate([jnp.zeros((1,), bool), rec_last[:-1]])
+
+    def shift1(a):
+        return jnp.concatenate([jnp.full((1,), _IMAX, I32), a[:-1]])
+
+    key = jnp.where(rec_first, base, n2 + cap)
+    key = jnp.where(rl_s, shift1(base + 1), key)
+    v1 = jnp.where(rec_first, agg["fp1"], _IMAX)
+    v1 = jnp.where(rl_s, shift1(agg["lp1"]), v1)
+    v2 = jnp.where(rec_first, agg["fp2"], _IMAX)
+    v2 = jnp.where(rl_s, shift1(agg["lp2"]), v2)
+    if amb is not None:
+        base_r = jnp.take(base, jnp.clip(amb_idx, 0, n2 - 1))
+        slot_r = jnp.arange(rec1_r.shape[1], dtype=I32)[None, :]
+        k_r = jnp.where(slot_r < rc_r[:, None],
+                        base_r[:, None] + slot_r, n2 + cap).reshape(-1)
+        key = jnp.concatenate([key, k_r])
+        v1 = jnp.concatenate([v1, rec1_r.reshape(-1)])
+        v2 = jnp.concatenate([v2, rec2_r.reshape(-1)])
     _, s1, s2 = jax.lax.sort((key, v1, v2), num_keys=1)
     in_cnt = jnp.arange(cap, dtype=I32) < cnt
     p1b = jnp.where(in_cnt, s1[:cap], _IMAX)

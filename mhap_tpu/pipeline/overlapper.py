@@ -1268,53 +1268,26 @@ class TpuOverlapper:
     # intermediates (repeat-heavy datasets can produce hundreds of
     # thousands of candidate pairs)
     SCORE_DISPATCH_MAX = 16384
-    # flagged lanes re-scored by the exact automaton INSIDE the fast
-    # dispatch (compacted to this many slots): a separate exact dispatch
-    # costs ~100ms in link round trips + program launch, the in-program
-    # automaton on <=128 compacted lanes costs ~nothing when no lane is
-    # flagged (pad rows exit the while-loop immediately).  Overflow lanes
-    # (rank >= cap) keep their needs_slow flag and take the separate
-    # dispatch -- rare (slow rates are ~1% of pairs).
-    SLOW_INLINE_CAP = 128
 
     SCORE_NAMES = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2",
                    "needs_slow", "slow_flag")
 
     def _build_score_body(self, T_static: int):
-        """Traceable gather+score body: fast pass + IN-PROGRAM exact
-        automaton on the first SLOW_INLINE_CAP flagged lanes (compacted by
-        sort).  Returns fn(q_cols..., c_cols..., qi, ci) -> dict of [T]
-        arrays (SCORE_NAMES keys)."""
+        """Traceable gather+score body (the scan fast path, exact for all
+        lanes except run-length / record-capacity / replay-budget
+        overflows -- ambiguous runs are replayed in program by
+        ops/scorer._replay_runs).  A while-loop exact automaton is
+        deliberately NOT embedded here: while_loop programs carry a
+        ~60ms fixed launch cost on this backend even at zero iterations,
+        so the rare flagged lanes take the separate _rescore_slow
+        dispatch instead.  Returns fn(q_cols..., c_cols..., qi, ci) ->
+        dict of [T] arrays (SCORE_NAMES keys)."""
         fn = self._score_fast
-        exact_fn = _kscorer.make_score_pairs(
-            self.cfg["max_shift"], self.cfg["ordered_sketch_size"],
-            jit=False)
-        cap_s = min(self.SLOW_INLINE_CAP, T_static)
-        ex_names = ("ok", "inter", "k", "valid_cnt", "a1", "a2", "b1", "b2")
 
         def body(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
             out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
                      coh[ci], cop[ci], com[ci], cnk[ci])
-            ns = out["needs_slow"]
-            Tp = qi.shape[0]
-            # compact the first cap_s flagged lanes (lane order)
-            ranks = jnp.cumsum(ns.astype(jnp.int32)) - 1
-            handled = ns & (ranks < cap_s)
-            lane = jnp.arange(Tp, dtype=jnp.int32)
-            slow_lanes = jax.lax.sort(
-                jnp.where(handled, lane, Tp))[:cap_s]
-            pad = slow_lanes >= Tp
-            sl = jnp.where(pad, 0, slow_lanes)
-            qsl = jnp.where(pad, qoh.shape[0] - 1, qi[sl])
-            csl = jnp.where(pad, coh.shape[0] - 1, ci[sl])
-            ex = exact_fn(qoh[qsl], qop[qsl], qom[qsl], qnk[qsl],
-                          coh[csl], cop[csl], com[csl], cnk[csl])
-            tgt = jnp.where(pad, Tp, slow_lanes)
-            for k in ex_names:
-                out[k] = out[k].at[tgt].set(
-                    ex[k].astype(out[k].dtype), mode="drop")
-            out["slow_flag"] = ns
-            out["needs_slow"] = ns & ~handled
+            out["slow_flag"] = out["needs_slow"]
             return out
 
         return body

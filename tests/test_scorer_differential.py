@@ -197,3 +197,128 @@ def test_fast_device_scorer_against_both(cpp_score):
             assert (want[2], want[3], want[4], want[5]) == (
                 out["a1"][0], out["a2"][0], out["b1"][0], out["b2"][0])
             assert want[1] == out["valid_cnt"][0]
+
+
+def test_replay_shift_retry_runs_exact(cpp_score):
+    """The bounded in-run replay (ops/scorer._replay_runs) must make
+    shift-retry runs -- first-pair shift outside median +- absMax with
+    multiple valid entries on the advancing side, where the automaton
+    retries WITHIN the run (recordMatchingKmers :487-499) -- bit-exact in
+    the scan fast path without flagging needs_slow.
+
+    Construction: small hash alphabets with per-side duplicate runs of
+    2-6 entries whose positions straddle wide spreads, so pass-2 windows
+    and the shift bound produce in-run retries.  Every unflagged lane
+    must match the oracle AND the C++ port exactly; flagged lanes are
+    allowed only for run lengths beyond scan_bound."""
+    import jax.numpy as jnp
+
+    from mhap_tpu.ops import scorer as ksc
+    from mhap_tpu.oracle.scorer import get_overlap_info
+
+    rng = np.random.default_rng(17)
+    S = 64
+    fast = ksc.make_score_pairs_fast(0.2, S, scan_bound=8)
+
+    def mk(alphabet, runs, spread, nk):
+        rows = []
+        for h in alphabet:
+            r = int(rng.integers(1, runs + 1))
+            ps = np.sort(rng.choice(spread, size=r, replace=False))
+            for p in ps:
+                rows.append((int(h), int(p)))
+        rows.sort()
+        a = np.asarray(rows, np.int32)
+        return a[np.lexsort((a[:, 1], a[:, 0]))]
+
+    flagged = checked = 0
+    for t in range(400):
+        A = int(rng.integers(2, 6))
+        alphabet = np.unique(rng.integers(-2**31, 2**31 - 1, A))
+        nk = int(rng.integers(40, 4000))
+        # position pool mixing a tight cluster (drives the median) with
+        # far outliers (drive retries/window exclusion)
+        base = int(rng.integers(0, nk // 2))
+        pool = np.unique(np.concatenate([
+            base + rng.integers(0, 30, 12),
+            rng.integers(0, nk, 8)]))
+        s1 = mk(alphabet, 4, pool, nk)
+        s2 = mk(alphabet, 4, pool, nk)
+        n1, n2 = len(s1), len(s2)
+        if n1 < 1 or n2 < 1 or n1 > S or n2 > S:
+            continue
+        oh1 = np.full(S, 0x7FFFFFFF, np.int32)
+        op1 = np.full(S, 0x7FFFFFFF, np.int32)
+        oh1[:n1], op1[:n1] = s1[:, 0], s1[:, 1]
+        oh2 = np.full(S, 0x7FFFFFFF, np.int32)
+        op2 = np.full(S, 0x7FFFFFFF, np.int32)
+        oh2[:n2], op2[:n2] = s2[:, 0], s2[:, 1]
+        out = {k: np.asarray(v) for k, v in fast(
+            jnp.asarray(oh1[None]), jnp.asarray(op1[None]),
+            jnp.asarray([n1], np.int32), jnp.asarray([nk], np.int32),
+            jnp.asarray(oh2[None]), jnp.asarray(op2[None]),
+            jnp.asarray([n2], np.int32),
+            jnp.asarray([nk], np.int32)).items()}
+        want = get_overlap_info(s1, nk, s2, nk, 12, 0.2)
+        assert want == cpp_score(s1, nk, s2, nk)
+        if out["needs_slow"][0]:
+            flagged += 1
+            continue
+        checked += 1
+        if not out["ok"][0]:
+            assert want == (0.0, 0.0, 0, 0, 0, 0), f"trial {t}"
+        else:
+            assert (want[2], want[3], want[4], want[5]) == (
+                out["a1"][0], out["a2"][0], out["b1"][0],
+                out["b2"][0]), f"trial {t}"
+            assert want[1] == out["valid_cnt"][0], f"trial {t}"
+    # the replay must absorb nearly everything at these run lengths
+    assert checked >= 250
+    assert flagged <= checked // 10
+
+
+def test_replay_deterministic_retry(cpp_score):
+    """A hand-built run where the first (a, b) pair's shift fails the
+    median +- absMax bound but a later in-run pair passes: the old scan
+    path flagged this lane needs_slow; the replay must now score it
+    exactly with no flag."""
+    import jax.numpy as jnp
+
+    from mhap_tpu.ops import scorer as ksc
+    from mhap_tpu.oracle.scorer import get_overlap_info
+
+    S = 16
+    nk = 1000
+    # three singleton runs at shift ~100 fix the pass-1 median; run h=50
+    # has side-1 entries at pos 0 and 500 vs side-2 at 600: first-pair
+    # shift 600 >> median + absMax, the retry within the run matches
+    # (500, 600) with shift 100
+    s1 = np.asarray([(10, 100), (20, 300), (30, 700), (50, 0), (50, 500)],
+                    np.int32)
+    s2 = np.asarray([(10, 200), (20, 400), (30, 800), (50, 600)], np.int32)
+    want = get_overlap_info(s1, nk, s2, nk, 12, 0.2)
+    assert want == cpp_score(s1, nk, s2, nk)
+    # the retried record must actually appear: 4 valid matches
+    assert want[1] == 4.0
+
+    fast = ksc.make_score_pairs_fast(0.2, S, scan_bound=8)
+
+    def pad(s, n):
+        oh = np.full(S, 0x7FFFFFFF, np.int32)
+        op = np.full(S, 0x7FFFFFFF, np.int32)
+        oh[:n], op[:n] = s[:, 0], s[:, 1]
+        return oh, op
+
+    oh1, op1 = pad(s1, len(s1))
+    oh2, op2 = pad(s2, len(s2))
+    out = {k: np.asarray(v) for k, v in fast(
+        jnp.asarray(oh1[None]), jnp.asarray(op1[None]),
+        jnp.asarray([len(s1)], np.int32), jnp.asarray([nk], np.int32),
+        jnp.asarray(oh2[None]), jnp.asarray(op2[None]),
+        jnp.asarray([len(s2)], np.int32), jnp.asarray([nk], np.int32)
+    ).items()}
+    assert not out["needs_slow"][0]
+    assert out["ok"][0]
+    assert (want[2], want[3], want[4], want[5]) == (
+        out["a1"][0], out["a2"][0], out["b1"][0], out["b2"][0])
+    assert want[1] == out["valid_cnt"][0]
