@@ -692,6 +692,57 @@ def _replay_runs(st, okv, amb, median, abs_max, A: int, RB: int):
     return amb_idx, rc, rec1, rec2, overflow
 
 
+def _compact_shared_runs(st, W: int, max_span: int | None):
+    """Compact the master structure to its SHARED runs (hash present on
+    both sides), [W] wide.
+
+    Records can only come from shared runs (a record requires hash
+    equality) and non-shared entries only cost the automaton bare cursor
+    skips, so the merge passes are exact on the compacted structure --
+    the reference's own prefilter argument (_prefilter_shared).  At
+    PacBio-like error rates shared entries are <10%% of 2S, so the wide
+    per-pass sorts and scans shrink ~6x.  Returns (st2, n_shared); lanes
+    with n_shared > W must be flagged by the caller (the windowed
+    jaccard still runs on the FULL structure -- union consumption needs
+    every entry).
+
+    Shared-ness is classified with max_span-bounded scans/fills: runs
+    longer than max_span may misclassify, but such lanes are already
+    needs_slow via the caller's long-run check."""
+    h, p, tag, real = st["h"], st["p"], st["tag"], st["real"]
+    first, last = st["first"], st["last"]
+    n2 = h.shape[0]
+    one = jnp.ones((n2,), I32)
+    agg = seg_suffix_scan({
+        "c1": (jnp.where(real & (tag == 0), one, 0), "sum"),
+        "c2": (jnp.where(real & (tag == 1), one, 0), "sum"),
+    }, last, max_span)
+    idx = jnp.arange(n2, dtype=I32)
+    rep_idx = jax.lax.cummax(jnp.where(first, idx, -1))
+    shared = first & (agg["c1"] > 0) & (agg["c2"] > 0)
+    lim = max_span if max_span is not None else n2
+    d = 1
+    while d < lim:
+        prev_rep = jnp.concatenate([jnp.full((d,), -2, I32), rep_idx[:-d]])
+        prev_sh = jnp.concatenate(
+            [jnp.zeros((d,), bool), shared[:-d]])
+        shared = shared | ((prev_rep == rep_idx) & prev_sh)
+        d *= 2
+    shared = shared & real
+    n_shared = jnp.sum(shared.astype(I32))
+    key = jnp.where(shared, idx, n2 + idx)
+    _, hs, ps, ts = jax.lax.sort((key, h, p, tag), num_keys=1)
+    real2 = jnp.arange(W, dtype=I32) < n_shared
+    h2 = hs[:W]
+    first2 = real2 & jnp.concatenate(
+        [jnp.ones((1,), bool), h2[1:] != h2[:-1]])
+    last2 = real2 & jnp.concatenate(
+        [(h2[1:] != h2[:-1]) | ~real2[1:], jnp.ones((1,), bool)])
+    st2 = dict(h=h2, p=ps[:W], tag=ts[:W], real=real2, first=first2,
+               last=last2, idx=jnp.arange(W, dtype=I32))
+    return st2, n_shared
+
+
 def _fast_pass_scan(st, median, abs_max, v1l, v1u, v2l, v2u,
                     cap: int | None, *, pass1: bool = False,
                     max_span: int | None = None,
@@ -867,7 +918,8 @@ def _windowed_jaccard_scan(st, m1, m2, a1, a2, b1, b2,
 
 def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
                           cap: int | None = None, jit: bool = True,
-                          scan_bound: int | None = 8):
+                          scan_bound: int | None = 8,
+                          shared_cap: int | None = 1024):
     """Vectorized-fast-path batched scorer (one master sort + segmented
     scans; no data-dependent loops).
 
@@ -885,9 +937,11 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
     two 1536-entry sketches -- measured <= 4 on 100% of bench pairs -- so
     the default 8 escalates essentially nothing.  None = unbounded.
 
-    (A shared-hash-compacted narrow variant was measured and rejected: the
-    per-lane computed-index gathers it needs run far below lax.sort speed
-    on this backend -- see NOTES.md measured dead ends.)
+    shared_cap: the merge passes run on a [shared_cap]-wide compaction of
+    the shared runs (_compact_shared_runs -- sort-based, NOT the gather
+    formulation NOTES.md records as a dead end).  Shared entries are
+    <10%% of 2S at PacBio-like error rates; lanes whose shared count
+    exceeds the cap flag needs_slow.  None (or >= 2S) disables.
     """
     m_c, s_c = fixed_point_constant(max_shift_percent)
     if cap is None:
@@ -906,6 +960,15 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
         else:
             long_run = jnp.zeros((), bool)
 
+        # the merge passes run on the shared-run compaction; overflowing
+        # lanes are re-scored exactly (needs_slow)
+        if shared_cap is not None and shared_cap < 2 * sketch_size:
+            stp, n_shared = _compact_shared_runs(st, shared_cap, scan_bound)
+            shared_over = n_shared > shared_cap
+        else:
+            stp = st
+            shared_over = jnp.zeros((), bool)
+
         # pass 1: unconstrained windows -- positions always in range, the
         # shift bound can never fail (|shift| <= max(nk) < abs_max).  Only
         # the record count + shift median are needed, so the pass runs in
@@ -913,7 +976,7 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
         # uncapped record list, exactly the reference semantics)
         abs_max0 = jnp.maximum(a_nk, b_nk) + 1
         shifts1, _, cnt1, _ = _fast_pass_scan(
-            st, jnp.int32(0), abs_max0, jnp.int32(0), a_nk,
+            stp, jnp.int32(0), abs_max0, jnp.int32(0), a_nk,
             jnp.int32(0), b_nk, None, pass1=True, max_span=scan_bound)
         ok = cnt1 > 0
 
@@ -921,9 +984,9 @@ def make_score_pairs_fast(max_shift_percent: float, sketch_size: int,
         v1l, v1u, v2l, v2u = _window_params(median1, abs_max1, a_nk, b_nk)
 
         p1b, p2b, cnt2, needs_slow = _fast_pass_scan(
-            st, median1, abs_max1, v1l, v1u, v2l, v2u, cap,
+            stp, median1, abs_max1, v1l, v1u, v2l, v2u, cap,
             max_span=scan_bound)
-        needs_slow = needs_slow | long_run
+        needs_slow = needs_slow | long_run | shared_over
         ok = ok & (cnt2 > 0)
 
         shifts2 = jnp.where(jnp.arange(cap) < cnt2, p2b - p1b, _IMAX)
