@@ -73,6 +73,13 @@ def _rc_codes(codes: np.ndarray) -> np.ndarray:
     return _RC_TABLE[codes[::-1]]
 
 
+# in-kernel escalation rung of the w_cap==1 sketch kernel: (row budget,
+# weight cap).  Rows with repeated k-mers are re-sketched exactly inside
+# the chunk program up to this weight; the host row kernel handles only
+# weights beyond ESC_INKERNEL[1] (or rows past the budget).
+ESC_INKERNEL = (16, 4)
+
+
 def _bucket_len(n: int, quantum: int = 256) -> int:
     """Length bucket: next power of two (>= quantum).  Pow2 snapping keeps
     the number of compiled kernel shapes logarithmic in the read-length
@@ -207,10 +214,15 @@ def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None):
     values iff they start from the same 64-bit hash, i.e. value ties only
     happen between copies of the SAME k-mer, and the position-index
     tiebreak then selects the first occurrence exactly as the reference's
-    insertion-ordered map does (MinHashSketch.java:66-81,134-153).  Only a
-    cheap duplicate-detection sort remains, to decide escalation: flagged
-    rows report max_w = 2 (a lower bound -- the escalated rung computes
-    exact counts and may escalate again; see _sketch_entries_device)."""
+    insertion-ordered map does (MinHashSketch.java:66-81,134-153).  A
+    cheap duplicate-detection sort flags rows with repeated k-mers; the
+    first ESC_ROWS flagged rows are then re-sketched EXACTLY in kernel at
+    weight cap ESC_W (dedup sort + min-reduce on the gathered row subset)
+    -- a link round trip saved on almost every bucket, since real read
+    batches nearly always contain a few w=2..4 rows.  Handled rows report
+    their exact max weight; rows beyond the budget report the lower bound
+    ESC_W+1, and the host escalates anything > ESC_W with the row kernel
+    (see _sketch_entries_device)."""
     n1 = seq.shape[1] - k1 + 1
     pos1 = jnp.arange(n1)[None, :]
     if start is None:
@@ -223,10 +235,30 @@ def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None):
         B, n = hi.shape
         dup = _minhash.dup_rows(hi, lo, valid1)
         n_valid = jnp.sum(valid1, axis=1).astype(jnp.int32)
-        max_w = jnp.where(dup, jnp.int32(2), jnp.int32(1))
         idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (B, n))
         sketch = _min_reduce(hi, lo, jnp.ones((B, n), jnp.int32), valid1,
                              idx, num_hashes=H, w_max=1)
+        # in-kernel escalation rung over the flagged rows
+        ESC_ROWS, ESC_W = ESC_INKERNEL
+        R_e = min(ESC_ROWS, B)
+        rows_i = jnp.arange(B, dtype=jnp.int32)
+        ranks = jnp.cumsum(dup.astype(jnp.int32)) - 1
+        handled = dup & (ranks < R_e)
+        rows_e = jax.lax.sort(jnp.where(handled, rows_i, B))[:R_e]
+        used = rows_e < B
+        rr = jnp.where(used, rows_e, 0)
+        g = _minhash.sort_and_count(hi[rr], lo[rr],
+                                    valid1[rr] & used[:, None])
+        w = jnp.where(g["first"], g["count"], 0)
+        active = g["first"] & (w > 0)
+        exact_w = jnp.max(jnp.where(active, w, 0), axis=1)
+        mh_e = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, ESC_W),
+                           active, g["tiebreak"], num_hashes=H,
+                           w_max=ESC_W)
+        tgt = jnp.where(used, rows_e, B)
+        sketch = sketch.at[tgt].set(mh_e, mode="drop")
+        max_w = jnp.where(dup, jnp.int32(ESC_W + 1), jnp.int32(1))
+        max_w = max_w.at[tgt].set(exact_w, mode="drop")
     else:
         g = _minhash.sort_and_count(hi, lo, valid1)
         w = jnp.where(g["first"], g["count"], 0)
@@ -370,7 +402,7 @@ def _gather_cols_jit(mh, oh, op, om, pos):
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
-    def __init__(self, cfg=None, w_caps=(1, 4, 16, 128, 512),
+    def __init__(self, cfg=None, w_caps=(1, 16, 128, 512),
                  pair_chunk: int = 512, kmer_filter=None):
         self.cfg = dict(DEFAULTS)
         if cfg:
@@ -429,7 +461,7 @@ class TpuOverlapper:
             mh = np.array(sketch)
             nv = np.asarray(n_valid)
             maxw = np.asarray(max_w)
-            redo = maxw > self.w_caps[0]
+            redo = maxw > ESC_INKERNEL[1]
             for cap in self.w_caps[1:]:
                 if not redo.any():
                     break
@@ -876,7 +908,7 @@ class TpuOverlapper:
             for c in grp["chunks"]:
                 grouped.add(id(c))
                 real = c["idxs"] >= 0
-                for r in np.nonzero(real & (c["mw"] > self.w_caps[0]))[0]:
+                for r in np.nonzero(real & (c["mw"] > ESC_INKERNEL[1]))[0]:
                     items.append((c, int(r)))
             if not items:
                 continue
@@ -920,7 +952,7 @@ class TpuOverlapper:
                 for c in {id(i[0]): i[0] for i in items}.values():
                     real = c["idxs"] >= 0
                     nd = int(c["mw"][real].max()) if real.any() else 0
-                    if nd > self.w_caps[0]:
+                    if nd > ESC_INKERNEL[1]:
                         chunk_redo(c, nd)
             elif not resolved:
                 raise RuntimeError(
@@ -931,7 +963,7 @@ class TpuOverlapper:
                 continue
             real = c["idxs"] >= 0
             need = int(c["mw"][real].max()) if real.any() else 0
-            if need > self.w_caps[0]:
+            if need > ESC_INKERNEL[1]:
                 chunk_redo(c, need)
 
         # entry -> concat position (irregular rows override packed rows)

@@ -95,3 +95,42 @@ def test_weight_cap_row_escalation():
     for i, r in enumerate(reads):
         want = osk.minhash_sketch(r, 16, 64, None, 0.9)
         assert np.array_equal(mh[i], want), f"read {i} minhash mismatch"
+
+
+def test_weight_cap_inkernel_rung():
+    """Rows with k-mer occurrence counts 2..ESC_INKERNEL[1] are
+    re-sketched exactly INSIDE the chunk program (no host row-kernel
+    dispatch) and match the oracle."""
+    from mhap_tpu.oracle import sketch as osk
+    from mhap_tpu.pipeline import overlapper as OV
+
+    rng = np.random.default_rng(7)
+    arr = np.array(list("ACGT"))
+    reads = []
+    for rep in (2, 3, 4):  # counts within the in-kernel cap
+        unit = "".join(arr[rng.integers(0, 4, 40)])
+        pre = "".join(arr[rng.integers(0, 4, 140)])
+        post = "".join(arr[rng.integers(0, 4, 140)])
+        reads.append(pre + unit * rep + post)
+    for _ in range(5):
+        reads.append("".join(arr[rng.integers(0, 4, 400)]))
+
+    calls = []
+    orig = OV._sketch_minhash_rows_jit
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    OV._sketch_minhash_rows_jit = spy
+    try:
+        ov = TpuOverlapper(
+            dict(num_hashes=64, min_olap_length=100, min_store_length=0))
+        store = ov.sketch_reads(reads, do_rc=False)
+    finally:
+        OV._sketch_minhash_rows_jit = orig
+    assert not calls, "w<=4 rows must be absorbed by the in-kernel rung"
+    mh = np.asarray(store.dev("minhash"))
+    for i, r in enumerate(reads):
+        want = osk.minhash_sketch(r, 16, 64, None, 0.9)
+        assert np.array_equal(mh[i], want), f"read {i} minhash mismatch"
