@@ -161,12 +161,10 @@ class ShardedOverlapper(TpuOverlapper):
         ln = self._put_sharded(lens[s:s + R2])
         return self._sketch_stage_rc(packed.shape[1], cap)(pk, ln)
 
-    def _sketch_minhash_rows(self, handle, s, rows, cap):
-        # buckets stay host-side here (chunks are device_put with row
-        # sharding per dispatch); escalation falls back to chunk redo
+    def _sketch_minhash_codes(self, codes_list, cap):
+        # single-device codes kernel unsupported under the mesh;
+        # escalation falls back to chunk redo
         return None
-
-    _sketch_minhash_rows_rc = _sketch_minhash_rows
 
     def _sketch_stage(self, L4: int, cap: int):
         key = ("sketch", L4, cap)

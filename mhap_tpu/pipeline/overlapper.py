@@ -324,21 +324,16 @@ def _sketch_packed_rc_jit(packed, lens, row0, k1, k2, H, S, w_cap, R2):
     return _sketch_core(seq, lens2, k1, k2, H, S, w_cap, start=start)
 
 
-def _minhash_rows_core(seq, lr, start, k1, H, w_cap):
-    """Stage-1 sketch ONLY, for gathered rows at a higher weight cap --
-    the row-level escalation path (rows whose max k-mer occurrence count
-    exceeds the first rung's cap).  Skips the bottom-k and hash32 work,
-    which is cap-independent.  Also returns the EXACT per-row max weight
-    (the first rung's max_w is only a lower bound when its cap is 1 and
-    the dedup sort was skipped) so the caller can escalate further when
-    this rung's cap is still insufficient."""
+@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
+def _sketch_minhash_codes_jit(seq, lr, k1, H, w_cap):
+    """Stage-1 sketch ONLY, over raw ASCII code rows at a higher weight
+    cap -- the host escalation path (rows whose max k-mer occurrence
+    count exceeds the in-kernel rung's cap).  Skips the bottom-k and
+    hash32 work, which is cap-independent.  Also returns the EXACT
+    per-row max weight so the caller can escalate further when this
+    rung's cap is still insufficient."""
     n1 = seq.shape[1] - k1 + 1
-    pos = jnp.arange(n1)[None, :]
-    if start is None:
-        valid1 = pos < (lr[:, None] - k1 + 1)
-    else:
-        valid1 = ((pos >= start[:, None])
-                  & (pos < (start + lr)[:, None] - k1 + 1))
+    valid1 = jnp.arange(n1)[None, :] < (lr[:, None] - k1 + 1)
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
     g = _minhash.sort_and_count(hi, lo, valid1)
     w = jnp.where(g["first"], g["count"], 0)
@@ -347,30 +342,6 @@ def _minhash_rows_core(seq, lr, start, k1, H, w_cap):
     mh = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
                      g["tiebreak"], num_hashes=H, w_max=w_cap)
     return mh, max_w
-
-
-@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
-def _sketch_minhash_rows_jit(packed, lens, rows, k1, H, w_cap):
-    pr = packed[rows]
-    lr = lens[rows]
-    seq = _decode_2bit(pr, packed.shape[1] * 4)
-    return _minhash_rows_core(seq, lr, None, k1, H, w_cap)
-
-
-@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
-def _sketch_minhash_rows_rc_jit(packed, lens, rows, k1, H, w_cap):
-    """Row escalation over an rc-paired bucket: ``rows`` index the
-    interleaved output space (2i = fwd of packed row i, 2i+1 = its rc)."""
-    fr = rows // 2
-    is_rc = (rows % 2) == 1
-    pr = packed[fr]
-    lr = lens[fr]
-    L = packed.shape[1] * 4
-    fwd, rc = _decode_2bit_pair(pr, L)
-    seq = jnp.where(is_rc[:, None], rc, fwd)
-    start = jnp.where(is_rc, jnp.int32(0),
-                      jnp.int32(L) - lr).astype(jnp.int32)
-    return _minhash_rows_core(seq, lr, start, k1, H, w_cap)
 
 
 @partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
@@ -517,11 +488,12 @@ class TpuOverlapper:
                 cfg["repeat_weight"])
         active = first & (w > 0)
         nv = active.sum(axis=1)
+        # snap the compiled weight cap to the next power of two: this is
+        # only a jit-variant bound (the kernel runs w_max advances per
+        # slot for EVERY k-mer, so over-snapping to an escalation rung
+        # multiplies the whole min-reduce)
         w_max = max(int(w.max()) if w.size else 1, 1)
-        for cap in self.w_caps:
-            if w_max <= cap:
-                w_max = cap
-                break
+        w_max = 1 << (w_max - 1).bit_length()
         s_hi = jnp.asarray((s_h >> np.uint64(32)).astype(np.uint32))
         s_lo = jnp.asarray((s_h & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         mh = _min_reduce(
@@ -653,42 +625,29 @@ class TpuOverlapper:
                                      cfg["num_hashes"],
                                      cfg["ordered_sketch_size"], cap, R2)
 
-    MINHASH_ROWQ = 64  # row quantum for the escalation row kernel
+    MINHASH_ROWQ = 64  # row quantum for the escalation codes kernel
 
-    def _sketch_minhash_rows(self, handle, s: int, rows: np.ndarray,
-                             cap: int):
-        """Stage-1 sketch of chunk-local ``rows`` (chunk offset ``s`` into
-        the bucket) at weight cap ``cap``.  Returns ([len(rows), H] minhash,
-        [len(rows)] exact max weight), or None when row gathering is
-        unsupported (the sharded subclass: chunk redo instead)."""
+    def _sketch_minhash_codes(self, codes_list, cap: int):
+        """Stage-1 sketch of raw ASCII code rows at weight cap ``cap`` --
+        the host escalation path: one u8 push + one dispatch covers every
+        flagged row of the batch regardless of bucket/strand.  Returns
+        ([n, H] device minhash, [n] exact max weight host array), or None
+        when unsupported (the sharded subclass: chunk redo instead)."""
         cfg = self.cfg
         RQ = self.MINHASH_ROWQ
-        n = len(rows)
+        n = len(codes_list)
         n_pad = ((n + RQ - 1) // RQ) * RQ
-        rg = np.zeros(n_pad, np.int32)
-        rg[:n] = s + rows
-        mh, mw = _sketch_minhash_rows_jit(handle[0], handle[1],
-                                          jnp.asarray(rg),
-                                          cfg["kmer_size"],
-                                          cfg["num_hashes"], cap)
-        return mh[:n], mw[:n]
-
-    def _sketch_minhash_rows_rc(self, handle, s: int, rows: np.ndarray,
-                                cap: int):
-        """Row escalation over an rc-paired bucket: ``rows`` are
-        chunk-local OUTPUT rows (interleaved space); the packed-row chunk
-        starts at fwd row ``s``, i.e. output row 2*s."""
-        cfg = self.cfg
-        RQ = self.MINHASH_ROWQ
-        n = len(rows)
-        n_pad = ((n + RQ - 1) // RQ) * RQ
-        rg = np.zeros(n_pad, np.int32)
-        rg[:n] = 2 * s + rows
-        mh, mw = _sketch_minhash_rows_rc_jit(handle[0], handle[1],
-                                             jnp.asarray(rg),
-                                             cfg["kmer_size"],
-                                             cfg["num_hashes"], cap)
-        return mh[:n], mw[:n]
+        L = _bucket_len(max(len(cd) for cd in codes_list))
+        sub = np.zeros((n_pad, L), np.uint8)
+        sl = np.zeros(n_pad, np.int32)
+        for t, cd in enumerate(codes_list):
+            sub[t, :len(cd)] = cd
+            sl[t] = len(cd)
+        mh, mw = _sketch_minhash_codes_jit(jnp.asarray(sub),
+                                           jnp.asarray(sl),
+                                           cfg["kmer_size"],
+                                           cfg["num_hashes"], cap)
+        return mh[:n], np.asarray(mw)[:n]
 
     def _sketch_chunk_u8(self, sub, sl, cap: int):
         cfg = self.cfg
@@ -778,12 +737,18 @@ class TpuOverlapper:
 
         chunks = []      # dicts: out (device col dict), idxs (entry idx per
         #                  row, -1 padding), redo args for cap escalation
-        buckets = []     # per-bucket escalation groups: one row-kernel
-        #                  dispatch covers every flagged row of the bucket
-        #                  (round trips through the device link dominate the
-        #                  escalation cost, not the kernel)
         R_in = ROWS // step  # packed rows per chunk (ROWS output rows)
-        for blen, idxs in sorted(by_bucket.items()):
+        # push granularity: sub-buckets of SPLIT packed rows, so the
+        # transfer of sub-bucket k+1 rides the link while sub-bucket k's
+        # sketch kernels run (escalation no longer binds to a bucket
+        # handle -- see the codes-based dispatch below -- so splitting
+        # costs nothing there)
+        SPLIT = 4 * R_in
+        sub_buckets = []
+        for blen, idxs_all in sorted(by_bucket.items()):
+            for s0 in range(0, len(idxs_all), SPLIT):
+                sub_buckets.append((blen, idxs_all[s0:s0 + SPLIT]))
+        for blen, idxs in sub_buckets:
             nb = len(idxs)
             nb_pad = ((nb + R_in - 1) // R_in) * R_in
             codes = np.zeros((nb_pad, blen), np.uint8)
@@ -817,26 +782,22 @@ class TpuOverlapper:
                 row_idx[step * r] = j
                 if step == 2:
                     row_idx[2 * r + 1] = j + 1
-            grp = dict(handle=handle, rc=(step == 2), chunks=[])
-            buckets.append(grp)
             for s in range(0, nb_pad, R_in):
                 if step == 2:
                     out = self._sketch_chunk_rc(handle, s, self.w_caps[0],
                                                 R_in)
                     c = dict(
                         out=out, idxs=row_idx[2 * s:2 * s + ROWS],
-                        base=2 * s,
                         redo=lambda cap, handle=handle, s=s:
                             self._sketch_chunk_rc(handle, s, cap, R_in))
                 else:
                     out = self._sketch_chunk(handle, s, self.w_caps[0],
                                              ROWS)
                     c = dict(
-                        out=out, idxs=row_idx[s:s + ROWS], base=s,
+                        out=out, idxs=row_idx[s:s + ROWS],
                         redo=lambda cap, handle=handle, s=s:
                             self._sketch_chunk(handle, s, cap, ROWS))
                 chunks.append(c)
-                grp["chunks"].append(c)
             if len(irr_rows):
                 # rows with non-ACGT codes: uint8 side path (exact hashes,
                 # host-materialized rc strands -- irregular reads are rare)
@@ -876,15 +837,15 @@ class TpuOverlapper:
         else:
             nv_all = mw_all = np.zeros(0, np.int32)
 
-        # weight-cap escalation: recompute the stage-1 sketch of over-cap
-        # rows at the smallest sufficient rung.  The first rung's max_w may
-        # be a LOWER BOUND (w_cap=1 skips the dedup sort and reports 2 for
-        # any row with a duplicate k-mer), so after each redo the now-exact
-        # max_w is re-checked and still-over rows escalate to the next
-        # rung.  Flagged rows are BATCHED per bucket: one row-kernel
-        # dispatch covers every flagged row of the bucket per rung (device
-        # round trips dominate this step, not the kernel); chunk redo where
-        # row gathering is unsupported (sharded subclass, u8 side chunks).
+        # weight-cap escalation: recompute the stage-1 sketch of rows whose
+        # max k-mer weight exceeds the in-kernel rung's cap.  max_w is
+        # exact for rows the in-kernel rung handled and a LOWER BOUND
+        # (ESC_INKERNEL[1] + 1) for flagged rows past its budget, so after
+        # each redo the now-exact weight is re-checked and still-over rows
+        # escalate to the next rung.  ALL flagged rows -- every chunk,
+        # every bucket, fwd and rc -- go through ONE codes-kernel dispatch
+        # per rung (link round trips dominate this step, not the kernel);
+        # chunk redo where that path is unsupported (sharded subclass).
         offs = np.cumsum([0] + [len(c["idxs"]) for c in chunks])
         for ci, c in enumerate(chunks):
             c["mw"] = np.asarray(mw_all[offs[ci]:offs[ci + 1]])
@@ -902,29 +863,25 @@ class TpuOverlapper:
             raise RuntimeError(
                 f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
 
-        grouped = set()
-        for grp in buckets:
-            items = []  # (chunk, chunk-local output row)
-            for c in grp["chunks"]:
-                grouped.add(id(c))
-                real = c["idxs"] >= 0
-                for r in np.nonzero(real & (c["mw"] > ESC_INKERNEL[1]))[0]:
-                    items.append((c, int(r)))
-            if not items:
-                continue
-            rows_fn = (self._sketch_minhash_rows_rc if grp["rc"]
-                       else self._sketch_minhash_rows)
-            need = max(int(c["mw"][r]) for c, r in items)
+        items = []  # (chunk, chunk-local row, entry index)
+        for c in chunks:
+            real = c["idxs"] >= 0
+            for r in np.nonzero(real & (c["mw"] > ESC_INKERNEL[1]))[0]:
+                items.append((c, int(r), int(c["idxs"][r])))
+        if items:
+            need = max(int(c["mw"][r]) for c, r, _ in items)
             pend = np.arange(len(items))
             mutated: set = set()
             unsupported = resolved = False
             for cap in self.w_caps[1:]:
                 if cap < need:
                     continue
-                abs_rows = np.asarray(
-                    [items[i][0]["base"] + items[i][1] for i in pend],
-                    np.int32)
-                res = rows_fn(grp["handle"], 0, abs_rows, cap)
+                codes_list = []
+                for i in pend:
+                    e = entries[items[i][2]]
+                    # device-rc scheme: rc entries share the fwd bytes
+                    codes_list.append(e[3] if e[1] else _rc_codes(e[3]))
+                res = self._sketch_minhash_codes(codes_list, cap)
                 if res is None:
                     unsupported = True  # sharded: chunk redo below
                     break
@@ -932,7 +889,7 @@ class TpuOverlapper:
                 # write rows back into their chunks (async device updates)
                 per_chunk: dict = {}
                 for t, i in enumerate(pend):
-                    c, r = items[i]
+                    c, r, _ = items[i]
                     per_chunk.setdefault(id(c), (c, []))[1].append((r, t))
                 for c, pairs in per_chunk.values():
                     if id(c) not in mutated:
@@ -942,7 +899,6 @@ class TpuOverlapper:
                     sel = jnp.asarray([p[1] for p in pairs])
                     c["out"]["minhash"] = c["out"]["minhash"].at[loc].set(
                         new_mh[sel])
-                new_mw = np.asarray(new_mw)
                 over = new_mw > cap
                 if not over.any():
                     resolved = True
@@ -957,14 +913,6 @@ class TpuOverlapper:
             elif not resolved:
                 raise RuntimeError(
                     f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
-
-        for c in chunks:  # u8 side chunks (no row path)
-            if id(c) in grouped:
-                continue
-            real = c["idxs"] >= 0
-            need = int(c["mw"][real].max()) if real.any() else 0
-            if need > ESC_INKERNEL[1]:
-                chunk_redo(c, need)
 
         # entry -> concat position (irregular rows override packed rows)
         pos_of = np.full(N, -1, np.int64)
@@ -1539,8 +1487,13 @@ class TpuOverlapper:
         return m
 
     # pair-buffer compaction capacity of the fused vote dispatch; pairs
-    # beyond it force a query-range split (never silently dropped)
-    PAIR_CAP = 16384
+    # beyond it force a query-range split (never silently dropped).  The
+    # buffer is device-resident and scored in SCORE_DISPATCH_MAX slices,
+    # so the cap costs memory only -- size it for repeat-heavy runs
+    # (hundreds of surviving pairs per query) to keep the split path
+    # rare: the deepest split is 64 queries, and a 64-query range
+    # overflowing 64k pairs falls back to the exact host route
+    PAIR_CAP = 65536
     # score slices are padded to this quantum (bounds compile variants)
     SCORE_SLICE_QUANTUM = 2048
 
@@ -1665,7 +1618,7 @@ class TpuOverlapper:
                 if cnt > self.PAIR_CAP:
                     # compaction overflow: split the query range (recurse
                     # at the same ladder level), never drop pairs
-                    if ce - cs >= 128:
+                    if ce - cs >= 64:
                         h = (cs + ce) // 2
                         run_range(cs, h, lvl)
                         run_range(h, ce, lvl)

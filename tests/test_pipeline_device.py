@@ -77,19 +77,19 @@ def test_weight_cap_row_escalation():
         reads.append("".join(arr[rng.integers(0, 4, 400)]))
 
     calls = []
-    orig = OV._sketch_minhash_rows_jit
+    orig = OV._sketch_minhash_codes_jit
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    OV._sketch_minhash_rows_jit = spy
+    OV._sketch_minhash_codes_jit = spy
     try:
         ov = TpuOverlapper(
             dict(num_hashes=64, min_olap_length=100, min_store_length=0))
         store = ov.sketch_reads(reads, do_rc=False)
     finally:
-        OV._sketch_minhash_rows_jit = orig
+        OV._sketch_minhash_codes_jit = orig
     assert calls, "row escalation kernel never dispatched"
     mh = np.asarray(store.dev("minhash"))
     for i, r in enumerate(reads):
@@ -116,19 +116,19 @@ def test_weight_cap_inkernel_rung():
         reads.append("".join(arr[rng.integers(0, 4, 400)]))
 
     calls = []
-    orig = OV._sketch_minhash_rows_jit
+    orig = OV._sketch_minhash_codes_jit
 
     def spy(*a, **k):
         calls.append(1)
         return orig(*a, **k)
 
-    OV._sketch_minhash_rows_jit = spy
+    OV._sketch_minhash_codes_jit = spy
     try:
         ov = TpuOverlapper(
             dict(num_hashes=64, min_olap_length=100, min_store_length=0))
         store = ov.sketch_reads(reads, do_rc=False)
     finally:
-        OV._sketch_minhash_rows_jit = orig
+        OV._sketch_minhash_codes_jit = orig
     assert not calls, "w<=4 rows must be absorbed by the in-kernel rung"
     mh = np.asarray(store.dev("minhash"))
     for i, r in enumerate(reads):
