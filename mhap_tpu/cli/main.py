@@ -6,9 +6,10 @@ overlap run; 2: -p/-q binary precompute), validation messages, stderr
 settings echo / timing spans / final stats (outputFinalStat:572-590),
 and M4 results on stdout.
 
-Extensions over the reference: ``--backend device|oracle`` (device = the
-TPU pipeline, the default; oracle = the bit-exact numpy reference) and
-FASTQ input support.
+Extensions over the reference: ``--backend device|sharded|oracle``
+(device = the single-chip TPU pipeline, the default; sharded = the same
+pipeline SPMD over every visible device via parallel/sharded.py; oracle
+= the bit-exact numpy reference) and FASTQ input support.
 """
 
 from __future__ import annotations
@@ -160,8 +161,9 @@ def build_options() -> ParseOptions:
     o.add("--no-rc", "Do not use reverse complements.", False)
     o.add("--settings", "Presets for unset flags: 0) none 1) default "
           "2) fast 3) sensitive.", 0)
-    o.add("--backend", "device (TPU pipeline) or oracle (numpy "
-          "reference).", "device")
+    o.add("--backend", "device (TPU pipeline), sharded (all visible "
+          "devices, SPMD over a mesh) or oracle (numpy reference).",
+          "device")
     o.add("--paf", "Emit PAF instead of MHAP M4 output.", False)
     return o
 
@@ -294,14 +296,19 @@ def _load_reads(path: str, store_full_id: bool):
 def _get_overlapper(cfg, backend, kmer_filter, num_threads=None):
     from ..pipeline.overlapper import TpuOverlapper
 
-    if backend != "device":
+    if backend not in ("device", "sharded"):
         return None
     vf = None
     if kmer_filter is not None:
         from ..pipeline.freqfilter import VectorFrequencyFilter
 
         vf = VectorFrequencyFilter(kmer_filter)
-    ov = TpuOverlapper(cfg, kmer_filter=vf)
+    if backend == "sharded":
+        from ..parallel.sharded import ShardedOverlapper, make_mesh
+
+        ov = ShardedOverlapper(make_mesh(), cfg, kmer_filter=vf)
+    else:
+        ov = TpuOverlapper(cfg, kmer_filter=vf)
     if num_threads:
         # host-side pools (numpy BLAS-free paths are single-threaded; the
         # thread count governs host helpers like batched SW adjudication)

@@ -52,6 +52,18 @@ def test_cli_oracle_backend_same_output(synthetic_reads, tmp_path, capsys):
     assert dev == ora
 
 
+def test_cli_sharded_backend_same_output(synthetic_reads, tmp_path,
+                                         capsys):
+    genome, reads, positions = synthetic_reads
+    fa = tmp_path / "reads.fa"
+    write_fasta(fa, reads[:6])
+    ora = sorted(run_cli(["-s", str(fa), "--backend", "oracle"] + CFG_FLAGS,
+                         capsys))
+    shd = sorted(run_cli(["-s", str(fa), "--backend", "sharded"] + CFG_FLAGS,
+                         capsys))
+    assert shd == ora
+
+
 def test_cli_query_mode(synthetic_reads, tmp_path, capsys):
     genome, reads, positions = synthetic_reads
     box_fa = tmp_path / "box.fa"
