@@ -47,6 +47,25 @@ _BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 
 
+def _noisy_read(rng, raw, out_len):
+    """Vectorized PacBio-like error channel over base-index array ``raw``
+    (ins ERR*0.4 / del ERR*0.3 / sub ERR*0.3): emit up to ``out_len``
+    bases.  Returns (base indices, #raw bases consumed)."""
+    r = rng.random(len(raw))
+    ins = r < ERR * 0.4
+    dele = (r >= ERR * 0.4) & (r < ERR * 0.7)
+    sub = (r >= ERR * 0.7) & (r < ERR)
+    emit = np.where(dele, 0, np.where(ins, 2, 1))
+    out = np.repeat(raw, emit)
+    cum = np.cumsum(emit)
+    # inserted random base follows the original; substitutions replace it
+    rand_at = np.concatenate([cum[ins] - 1, cum[sub] - 1])
+    if len(rand_at):
+        out[rand_at] = rng.integers(0, 4, len(rand_at))
+    consumed = int(np.searchsorted(cum, out_len) + 1)
+    return out[:out_len], min(consumed, len(raw))
+
+
 def make_reads(n_reads=N_READS, read_len=READ_LEN, genome_len=GENOME_LEN,
                seed=SEED):
     rng = np.random.default_rng(seed)
@@ -56,22 +75,8 @@ def make_reads(n_reads=N_READS, read_len=READ_LEN, genome_len=GENOME_LEN,
     for _ in range(n_reads):
         pos = int(rng.integers(0, genome_len - 2 * read_len))
         raw = genome[pos:pos + int(read_len * 1.15)]
-        r = rng.random(len(raw))
-        out = []
-        for i, b in enumerate(raw):
-            if r[i] < ERR * 0.4:
-                out.append(b)
-                out.append(int(rng.integers(0, 4)))
-            elif r[i] < ERR * 0.7:
-                pass
-            elif r[i] < ERR:
-                out.append(int(rng.integers(0, 4)))
-            else:
-                out.append(b)
-            if len(out) >= read_len:
-                break
-        arr = np.asarray(out[:read_len], dtype=np.int64)
-        reads.append(bytes(bases[arr]).decode("ascii"))
+        out, _ = _noisy_read(rng, raw, read_len)
+        reads.append(bytes(bases[out]).decode("ascii"))
     return reads
 
 
@@ -96,24 +101,8 @@ def make_reads_placed(n_reads, seed, coverage=25.0, lognormal=True,
     for L in lens:
         pos = int(rng.integers(0, genome_len))
         raw = genome[pos:pos + int(L * 1.15)]
-        r = rng.random(len(raw))
-        out = []
-        consumed = 0
-        for i in range(len(raw)):
-            if r[i] < ERR * 0.4:
-                out.append(raw[i])
-                out.append(rng.integers(0, 4))
-            elif r[i] < ERR * 0.7:
-                pass
-            elif r[i] < ERR:
-                out.append(rng.integers(0, 4))
-            else:
-                out.append(raw[i])
-            consumed = i + 1
-            if len(out) >= L:
-                break
-        arr = np.asarray(out[:L], dtype=np.int64)
-        reads.append(bytes(bases[arr]).decode("ascii"))
+        out, consumed = _noisy_read(rng, raw, int(L))
+        reads.append(bytes(bases[out]).decode("ascii"))
         placements.append((pos, pos + consumed))
     return reads, placements, genome_len
 

@@ -1448,25 +1448,35 @@ class TpuOverlapper:
 
     def _format(self, qs: SketchStore, cs: SketchStore, qi, ci, score, raw,
                 edges) -> list[str]:
-        """MatchResult coordinate flips + formatting (MatchResult.java)."""
-        lines = []
-        for t in range(len(qi)):
-            q, c = int(qi[t]), int(ci[t])
-            a1, a2, b1, b2 = (int(x) for x in edges[t])
-            qlen = int(qs.length[q])
-            clen = int(cs.length[c])
-            qf = bool(qs.is_fwd[q])
-            cf = bool(cs.is_fwd[c])
-            fa1 = a1 if qf else qlen - a2 - 1
-            fa2 = a2 if qf else qlen - a1 - 1
-            fb1 = b1 if cf else clen - b2 - 1
-            fb2 = b2 if cf else clen - b1 - 1
-            sc = min(float(score[t]), 1.0)
-            lines.append("%s %s %.6f %.6f %d %d %d %d %d %d %d %d" % (
-                qs.display(q), cs.display(c), 1.0 - sc, float(raw[t]),
-                0 if qf else 1, fa1, fa2, qlen,
-                0 if cf else 1, fb1, fb2, clen))
-        return lines
+        """MatchResult coordinate flips + formatting (MatchResult.java).
+
+        Coordinate flips and clamps run vectorized; only the final
+        %-format runs per line."""
+        T = len(qi)
+        if T == 0:
+            return []
+        qi = np.asarray(qi, np.int64)
+        ci = np.asarray(ci, np.int64)
+        qlen = qs.length[qi].astype(np.int64)
+        clen = cs.length[ci].astype(np.int64)
+        qf = qs.is_fwd[qi]
+        cf = cs.is_fwd[ci]
+        a1, a2 = edges[:, 0].astype(np.int64), edges[:, 1].astype(np.int64)
+        b1, b2 = edges[:, 2].astype(np.int64), edges[:, 3].astype(np.int64)
+        fa1 = np.where(qf, a1, qlen - a2 - 1)
+        fa2 = np.where(qf, a2, qlen - a1 - 1)
+        fb1 = np.where(cf, b1, clen - b2 - 1)
+        fb2 = np.where(cf, b2, clen - b1 - 1)
+        err = 1.0 - np.minimum(np.asarray(score, np.float64), 1.0)
+        raw = np.asarray(raw, np.float64)
+        qrc = np.where(qf, 0, 1)
+        crc = np.where(cf, 0, 1)
+        disp_q = [qs.display(int(q)) for q in qi]
+        disp_c = [cs.display(int(c)) for c in ci]
+        return ["%s %s %.6f %.6f %d %d %d %d %d %d %d %d" % (
+            disp_q[t], disp_c[t], err[t], raw[t],
+            qrc[t], fa1[t], fa2[t], qlen[t],
+            crc[t], fb1[t], fb2[t], clen[t]) for t in range(T)]
 
     @staticmethod
     @jax.jit
