@@ -101,6 +101,93 @@ def _make_kernel(num_hashes: int, w_max: int):
     return kernel
 
 
+def _make_w1_kernel(num_hashes: int):
+    """Specialized w=1 rung (the common case: rows without repeated
+    k-mers; pipeline/overlapper._sketch_core).  With every weight 1 the
+    window minimum IS the slot value and -- xorshift64 being a bijection
+    -- value ties only occur between copies of the same k-mer, so the
+    tiebreak machinery drops out entirely: 3 lane reductions per slot
+    (min hi, masked min lo, one masked-max key extraction of the half the
+    slot's parity stores) instead of the generic kernel's 6."""
+
+    def kernel(hi_ref, lo_ref, act_ref, out_ref, acc_ref):
+        key_hi = hi_ref[:]
+        key_lo = lo_ref[:]
+        inact = act_ref[:] == 0
+
+        def umin(x):
+            s_ = (x ^ _SIGN).astype(I32)
+            return jnp.min(s_, axis=1, keepdims=True).astype(U32) ^ _SIGN
+
+        def umax_sel(mask, x):
+            s_ = jnp.where(mask, (x ^ _SIGN).astype(I32), -_IMAX - 1)
+            return jnp.max(s_, axis=1).astype(U32) ^ _SIGN
+
+        def one_slot(j, xh, xl):
+            nh, nl = u64.xorshift((xh, xl))
+            vh = jnp.where(inact, _UMAX, nh ^ _SIGN)
+            vl = jnp.where(inact, _UMAX, nl)
+            m_hi = umin(vh)
+            m1 = vh == m_hi
+            m_lo = umin(jnp.where(m1, vl, _UMAX))
+            sel = m1 & (vl == m_lo)
+            # slot parity is static per unrolled j: even slots store the
+            # low half of the winning k-mer's hash, odd the high half
+            val = umax_sel(sel, key_lo if j % 2 == 0 else key_hi)
+            return val.astype(I32), nh, nl
+
+        def group_body(g, carry):
+            xh, xl = carry
+            rows = []
+            for j in range(8):
+                val, xh, xl = one_slot(j, xh, xl)
+                rows.append(val)
+            tile = jnp.stack(rows, axis=0)  # [8, BT]
+            acc_ref[pl.ds(pl.multiple_of(g * 8, 8), 8), :] = tile
+            return xh, xl
+
+        jax.lax.fori_loop(0, num_hashes // 8, group_body, (key_hi, key_lo))
+        out_ref[:] = acc_ref[:].T
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("num_hashes", "block_rows", "interpret"))
+def min_reduce_w1_pallas(hi, lo, active, *, num_hashes: int,
+                         block_rows: int = 8, interpret: bool = False):
+    """w_max == 1 variant of weighted_min_reduce_pallas: every active lane
+    has weight exactly 1 (duplicate positions of the same k-mer may all be
+    active -- they tie to the same value and the same stored key).
+    Bit-identical to weighted_min_reduce(..., weight=1, w_max=1)."""
+    if num_hashes % 8:
+        raise ValueError("num_hashes must be a multiple of 8 for the "
+                         "pallas kernel")
+    B, n = hi.shape
+    BT = block_rows
+    pad_b = (-B) % BT
+    pad_n = (-n) % 128
+    if pad_b or pad_n:
+        padc = lambda a, v: jnp.pad(a, ((0, pad_b), (0, pad_n)),
+                                    constant_values=v)
+        hi = padc(hi, 0)
+        lo = padc(lo, 0)
+        active = padc(active, False)
+    Bp, np_ = hi.shape
+
+    out = pl.pallas_call(
+        _make_w1_kernel(num_hashes),
+        grid=(Bp // BT,),
+        in_specs=[pl.BlockSpec((BT, np_), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((BT, num_hashes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, num_hashes), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((num_hashes, BT), jnp.int32)],
+        interpret=interpret,
+    )(hi, lo, active.astype(I32))
+    return out[:B]
+
+
 @partial(jax.jit, static_argnames=("num_hashes", "w_max", "block_rows",
                                    "interpret"))
 def weighted_min_reduce_pallas(hi, lo, weight, active, tiebreak, *,

@@ -746,8 +746,14 @@ class TpuOverlapper:
         SPLIT = 4 * R_in
         sub_buckets = []
         for blen, idxs_all in sorted(by_bucket.items()):
+            # trim the padded width to the bucket's true max length
+            # (rounded to a 512 lane quantum): pow2 grouping bounds the
+            # number of buckets, the trim kills most of the pow2 padding
+            # waste -- every [B, n] sketch op scales with this width
+            wmax = max(len(entries[j][3]) for j in idxs_all)
+            wlen = min(blen, max(256, -(-wmax // 512) * 512))
             for s0 in range(0, len(idxs_all), SPLIT):
-                sub_buckets.append((blen, idxs_all[s0:s0 + SPLIT]))
+                sub_buckets.append((wlen, idxs_all[s0:s0 + SPLIT]))
         for blen, idxs in sub_buckets:
             nb = len(idxs)
             nb_pad = ((nb + R_in - 1) // R_in) * R_in
@@ -1013,6 +1019,8 @@ class TpuOverlapper:
 
         ROWS = self.ROWS
         for blen, idxs in sorted(by_bucket.items()):
+            wmax = max(len(entries[j][3]) for j in idxs)
+            blen = min(blen, max(256, -(-wmax // 512) * 512))
             for s in range(0, len(idxs), ROWS):
                 chunk = idxs[s:s + ROWS]
                 B = ROWS if len(idxs) > ROWS else len(chunk)
@@ -1770,6 +1778,11 @@ def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
     """Backend dispatch for the min-reduction kernel."""
     if (_MINHASH_IMPL == "pallas" and jax.default_backend() != "cpu"
             and w_max <= 64 and num_hashes % 8 == 0):
+        if w_max == 1:
+            from ..ops.minhash_pallas import min_reduce_w1_pallas
+
+            return min_reduce_w1_pallas(hi, lo, active,
+                                        num_hashes=num_hashes)
         from ..ops.minhash_pallas import weighted_min_reduce_pallas
 
         return weighted_min_reduce_pallas(
