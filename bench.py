@@ -17,15 +17,24 @@ vs_baseline  = value / baseline reads/s from bench_baseline.json.  The
                problem size (no JVM exists in the image; the C++ port is
                parity-tested against the oracle and the device pipeline).
 
-Additional named configs (detail.configs; BASELINE.md config shapes):
+The default run measures ONLY the primary workload and prints the JSON
+line as soon as it is known (round-2 lesson: extra configs ran by default
+and blew the driver's time budget -- BENCH_r02 recorded nothing).
+
+Additional named configs (BASELINE.md config shapes) are opt-in:
   lognormal10k -- 10,000 reads, ONT-like lognormal length distribution,
                   ~25x coverage, default settings; plus EstimateROC
                   sensitivity/specificity/PPV against the known synthetic
-                  truth placements.
+                  truth placements (PPV adjudicated by the batched device
+                  Smith-Waterman kernel, the ssw-JNI equivalent).
   filtered2k   -- 2,048 reads over a repeat-seeded genome with a k-mer
                   frequency filter file (tf-idf weighting path,
                   sketch/FrequencyCounts.java semantics).
-Run one config alone with `python bench.py --config lognormal10k`.
+  scale40k     -- 40,000 reads single chip (reference memory-guidance
+                  scale, quickstart.rst:23); reports reads/s + peak RSS.
+Run one with `python bench.py --config lognormal10k`, or everything with
+`python bench.py --all-configs` (each config prints its own JSON line
+after the primary line).
 """
 
 import json
@@ -172,19 +181,22 @@ def bench_config_lognormal(n_reads=10_000):
         with open(fa, "w") as f:
             for i, r in enumerate(reads):
                 f.write(f">{i + 1}\n{r}\n")
-        roc = EstimateROC(min_ovl_len=500, num_trials=2000)
+        # do_dp + batch_dp: disputed PPV pairs adjudicated by the batched
+        # on-device Smith-Waterman kernel (ops/swalign.py), the TPU-native
+        # form of the reference's ssw JNI path (EstimateROC.java:294-313).
+        roc = EstimateROC(min_ovl_len=500, num_trials=2000, do_dp=True)
         roc.process_reference(truth)
         roc.load_fasta(fa)
         roc.process_overlaps(ovls)
         roc.estimate_sensitivity()
         roc.estimate_specificity()
-        roc.estimate_ppv()
+        roc.estimate_ppv(batch_dp=True)
     return {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
             "warm_s": round(warm, 1), "steady_s": round(steady, 2),
             "overlaps": len(lines),
             "sensitivity": round(roc.sensitivity(), 4),
             "specificity": round(roc.specificity(), 4),
-            "ppv": round(roc.ppv, 4)}
+            "ppv": round(roc.ppv, 4), "ppv_dp": "device_sw_batched"}
 
 
 def bench_config_filtered(n_reads=2048):
@@ -218,6 +230,40 @@ def bench_config_filtered(n_reads=2048):
     return {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
             "warm_s": round(warm, 1), "steady_s": round(steady, 2),
             "overlaps": len(lines), "filter_kmers": n_rows}
+
+
+def _peak_rss_mb():
+    import resource
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def bench_config_scale40k(n_reads=40_000, verify_native=False):
+    """Reference memory-guidance scale: 40k sequences on one chip
+    (quickstart.rst:23 says 32GB RAM ~ 40K sequences for the JVM).
+    Constant ~25x coverage, lognormal lengths.  Reports reads/s, peak
+    host RSS, and the overlap count (parity-checkable vs the native
+    binary with verify_native=True)."""
+    from mhap_tpu.pipeline.overlapper import TpuOverlapper
+
+    reads, _, _ = make_reads_placed(n_reads, seed=SEED + 3)
+    ov = TpuOverlapper()
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    steady = time.perf_counter() - t0
+    out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
+           "warm_s": round(warm, 1), "steady_s": round(steady, 2),
+           "overlaps": len(lines), "peak_rss_mb": round(_peak_rss_mb(), 1)}
+    if verify_native:
+        t0 = time.perf_counter()
+        _, n_native, threads = bench_native(reads)
+        out["native_s"] = round(time.perf_counter() - t0, 1)
+        out["native_overlaps"] = n_native
+        out["native_threads"] = threads
+        out["overlaps_match"] = n_native == len(lines)
+    return out
 
 
 def bench_device(reads):
@@ -299,37 +345,52 @@ def main():
     if "--config" in sys.argv:
         name = sys.argv[sys.argv.index("--config") + 1]
         fn = {"lognormal10k": bench_config_lognormal,
-              "filtered2k": bench_config_filtered}[name]
-        print(json.dumps({name: fn()}))
+              "filtered2k": bench_config_filtered,
+              "scale40k": bench_config_scale40k}[name]
+        kw = ({"verify_native": True}
+              if name == "scale40k" and "--verify-native" in sys.argv
+              else {})
+        print(json.dumps({name: fn(**kw)}))
         return
 
+    # PRIMARY workload only; the JSON line prints the moment it is known.
     reads = make_reads()
     rps, n_overlaps, warm, steady = bench_device(reads)
-    base = None
+    base, base_overlaps = None, None
     if os.path.exists(_BASELINE_PATH):
         with open(_BASELINE_PATH) as f:
-            base = json.load(f).get("native_reads_per_s")
+            b = json.load(f)
+        base = b.get("native_reads_per_s")
+        base_overlaps = b.get("overlaps")
     vs = rps / base if base else None
-    configs = {}
-    if "--primary-only" not in sys.argv:
-        for name, fn in (("lognormal10k", bench_config_lognormal),
-                         ("filtered2k", bench_config_filtered)):
-            try:
-                configs[name] = fn()
-            except Exception as e:  # a config failure must not kill BENCH
-                configs[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps({
         "metric": "reads_overlapped_per_s_per_chip",
         "value": round(rps, 3),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "detail": {"n_reads": len(reads), "read_len": READ_LEN,
-                   "overlaps": n_overlaps, "warm_s": round(warm, 2),
+                   "overlaps": n_overlaps,
+                   "overlaps_expected": base_overlaps,
+                   "overlaps_match": (n_overlaps == base_overlaps
+                                      if base_overlaps else None),
+                   "warm_s": round(warm, 2),
                    "steady_s": round(steady, 2),
                    "baseline": "native C++ reference port, all host cores "
-                               "(see bench_baseline.json)",
-                   "configs": configs},
-    }))
+                               "(see bench_baseline.json)"},
+    }), flush=True)
+    if base_overlaps is not None and n_overlaps != base_overlaps:
+        print(f"WARNING: overlap count drift: device={n_overlaps} "
+              f"native baseline={base_overlaps}", file=sys.stderr)
+
+    if "--all-configs" in sys.argv:
+        for name, fn in (("lognormal10k", bench_config_lognormal),
+                         ("filtered2k", bench_config_filtered),
+                         ("scale40k", bench_config_scale40k)):
+            try:
+                out = fn()
+            except Exception as e:  # a config failure must not kill BENCH
+                out = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps({name: out}), flush=True)
 
 
 if __name__ == "__main__":
