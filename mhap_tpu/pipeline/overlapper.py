@@ -740,10 +740,10 @@ class TpuOverlapper:
         R_in = ROWS // step  # packed rows per chunk (ROWS output rows)
         # push granularity: sub-buckets of SPLIT packed rows, so the
         # transfer of sub-bucket k+1 rides the link while sub-bucket k's
-        # sketch kernels run (escalation no longer binds to a bucket
-        # handle -- see the codes-based dispatch below -- so splitting
-        # costs nothing there)
-        SPLIT = 4 * R_in
+        # sketch kernels run AND the host packing of sub-bucket k+1
+        # overlaps the DMA of sub-bucket k (pushes are async enqueues;
+        # one monolithic push serializes pack -> transfer instead)
+        SPLIT = R_in
         sub_buckets = []
         for blen, idxs_all in sorted(by_bucket.items()):
             # trim the padded width to the bucket's true max length
@@ -1544,7 +1544,44 @@ class TpuOverlapper:
 
             gf = jax.jit(impl)
             self._gather_score_cache[key] = gf
-        return gf(*q_dev, *c_dev, rows_dev, pql, pc, jnp.int32(base))
+        return gf(*q_dev, *c_dev, rows_dev, pql, pc, self._dev_i32(base))
+
+    def _dev_i32(self, v: int):
+        """Device-resident i32 scalar, cached per value: a fresh
+        jnp.int32(v) per dispatch costs a host->device upload on the
+        link every call; these are reused forever."""
+        cache = getattr(self, "_i32_cache", None)
+        if cache is None:
+            cache = self._i32_cache = {}
+        a = cache.get(v)
+        if a is None:
+            a = cache[v] = jax.device_put(np.int32(v))
+        return a
+
+    def _pull_combined(self, st, packs: list):
+        """ONE readback for the vote stats block + the speculative score
+        slices: flatten + concatenate on device, pull a single i32
+        vector.  Each extra sync on this link costs a full round trip
+        (~20-25ms), so the per-chunk steady path must pull exactly once."""
+        cache = getattr(self, "_pull_cache", None)
+        if cache is None:
+            cache = self._pull_cache = {}
+        key = (st.shape, tuple(p.shape for p in packs))
+        gf = cache.get(key)
+        if gf is None:
+            def impl(st, *ps):
+                return jnp.concatenate(
+                    [st.reshape(-1)] + [p.reshape(-1) for p in ps])
+
+            gf = cache[key] = jax.jit(impl)
+        flat = np.asarray(gf(st, *packs))
+        n_st = int(np.prod(st.shape))
+        out, off = [], n_st
+        for p in packs:
+            n = int(np.prod(p.shape))
+            out.append(flat[off:off + n].reshape(p.shape))
+            off += n
+        return flat[:n_st].reshape(st.shape), out
 
     def _find_matches_device(self, index, queries: SketchStore,
                              q_sel: np.ndarray, to_self: bool) -> list[str]:
@@ -1615,13 +1652,16 @@ class TpuOverlapper:
                     c_hid, c_len, span_cap=span_cap, top_k=K,
                     min_matches=mm, msl=msl, to_self=bool(to_self),
                     p_cap=self.PAIR_CAP)
-                # speculative score of the hint-sized head
+                # speculative score of the hint-sized head; its readback
+                # rides the SAME pull as the vote stats (one link round
+                # trip per steady chunk)
                 head = score_ranges(min(self._score_hint, self.PAIR_CAP))
-                packs = {b: self._score_slice(q_dev, c_dev, rows_dev,
-                                              pql, pc, b, sz)
-                         for b, sz in head}
+                head_packs = [self._score_slice(q_dev, c_dev, rows_dev,
+                                                pql, pc, b, sz)
+                              for b, sz in head]
                 sizes = dict(head)
-                st_np = np.asarray(st)
+                st_np, pulled = self._pull_combined(st, head_packs)
+                packs = {b: p for (b, _), p in zip(head, pulled)}
                 self.stats["minhash_search_time"] += (
                     time.perf_counter() - t0)
                 nq = ce - cs
