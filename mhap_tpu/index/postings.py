@@ -38,57 +38,18 @@ def build_postings_device(minhash: np.ndarray):
     return vals, sids
 
 
-def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
-               top_k: int, min_matches: int):
-    """Shared vote kernel body; see vote_device_packed for semantics.
+_CHANNEL_SPAN_MAX = 32  # spans above this use the request sort-join
 
-    Returns (cand [Q, top_k], votes [Q, top_k], overflow [Q],
-    hits_total [Q], distinct [Q], saturated [Q] bool)."""
-    H, N = post_vals.shape
-    Q = query_mh.shape[0]
 
-    # per (q, pos): locate the value span in the position's posting row.
-    # Vectorized binary search (searchsorted) is a computed-index gather
-    # loop -- very slow on TPU.  Instead, a per-band SORT-JOIN: jointly
-    # sort postings (tag 0) and queries (tag 1) per band, then ranks fall
-    # out of cumulative sums and a run-start cummax, and (left, cnt) ride
-    # back to query-slot order on a second sort.  Two [H, N+Q] sorts
-    # replace Q*H binary searches.
-    M = N + Q
-    j_vals = jnp.concatenate([post_vals, query_mh.T], axis=1)   # [H, M]
-    j_tag = jnp.concatenate(
-        [jnp.zeros((H, N), I32), jnp.ones((H, Q), I32)], axis=1)
-    j_pay = jnp.concatenate(
-        [jnp.broadcast_to(jnp.arange(N, dtype=I32), (H, N)),
-         jnp.broadcast_to(jnp.arange(Q, dtype=I32), (H, Q))], axis=1)
-    s_val, s_tag, s_pay = jax.lax.sort(
-        (j_vals, j_tag, j_pay), dimension=1, num_keys=2)
-    pos_j = jnp.broadcast_to(jnp.arange(M, dtype=I32), (H, M))
-    cum_q = jnp.cumsum(s_tag, axis=1)              # queries at or before j
-    right_j = pos_j + 1 - cum_q                    # postings at or before j
-    # left = postings before this element's value-run: propagate the
-    # run-start rank (non-decreasing, so a cummax carries it along runs)
-    new_run = jnp.concatenate(
-        [jnp.ones((H, 1), bool), s_val[:, 1:] != s_val[:, :-1]], axis=1)
-    left_j = jax.lax.cummax(
-        jnp.where(new_run, pos_j - (cum_q - s_tag), 0), axis=1)
-    # back to query-slot order: postings (tag 0) first, queries by slot
-    _, _, b_left, b_right = jax.lax.sort(
-        (s_tag, s_pay, left_j, right_j), dimension=1, num_keys=2)
-    left = b_left[:, N:].T                          # [Q, H]
-    right = b_right[:, N:].T
-    cnt = right - left
-    overflow = jnp.sum(jnp.maximum(cnt - span_cap, 0), axis=1).astype(I32)
-    hits_total = jnp.sum(cnt, axis=1).astype(I32)
-
-    # expand spans to candidate ids: [Q, H, span_cap].  NOT a gather:
-    # computed-index gathers run ~3x slower than sorts on TPU (a vmapped
-    # per-band post_sids[idx] measures 92ms where this sort-join runs
-    # 30ms at the bench shape).  Each (q, band, d) request wants posting
-    # slot left+d; jointly sorting postings (tag 0, their own slot) with
-    # requests (tag 1, wanted slot) per band lets a cummax propagate each
-    # posting's sid to the requests behind it, and a second sort returns
-    # requests to their original order.
+def _expand_spans_sortjoin(post_sids, left, cnt, span_cap: int, N: int,
+                           Q: int, H: int):
+    """Span expansion for LARGE span_cap: candidate ids [Q, H, span_cap]
+    via a request sort-join.  NOT a gather: computed-index gathers run
+    ~3x slower than sorts on TPU.  Each (q, band, d) request wants
+    posting slot left+d; jointly sorting postings (tag 0, their own
+    slot) with requests (tag 1, wanted slot) per band lets a doubling
+    fill propagate each posting's sid to the requests behind it, and a
+    second sort returns requests to their original order."""
     offs = jnp.arange(span_cap, dtype=I32)
     hit_ok = offs[None, None, :] < jnp.minimum(cnt, span_cap)[:, :, None]
     QS = Q * span_cap
@@ -121,7 +82,116 @@ def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
     _, _, b_sid = jax.lax.sort((s_tag, s_pay, sid_run), dimension=1,
                                num_keys=2)
     cand = b_sid[:, N:].reshape(H, Q, span_cap).transpose(1, 0, 2)
-    cand = jnp.where(hit_ok, cand, N)  # N = sentinel (sorts last)
+    return jnp.where(hit_ok, cand, N)  # N = sentinel (sorts last)
+
+
+def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
+               top_k: int, min_matches: int):
+    """Shared vote kernel body; see vote_device_packed for semantics.
+
+    Returns (cand [Q, top_k], votes [Q, top_k], overflow [Q],
+    hits_total [Q], distinct [Q], saturated [Q] bool)."""
+    H, N = post_vals.shape
+    Q = query_mh.shape[0]
+
+    # per (q, pos): locate the value span in the position's posting row.
+    # Vectorized binary search (searchsorted) is a computed-index gather
+    # loop -- very slow on TPU.  Instead, a per-band SORT-JOIN: jointly
+    # sort postings (tag 0) and queries (tag 1) per band, then ranks fall
+    # out of cumulative sums and a run-start cummax, and (left, cnt) ride
+    # back to query-slot order on a second sort.  Two [H, N+Q] sorts
+    # replace Q*H binary searches.
+    M = N + Q
+    j_vals = jnp.concatenate([post_vals, query_mh.T], axis=1)   # [H, M]
+    j_tag = jnp.concatenate(
+        [jnp.zeros((H, N), I32), jnp.ones((H, Q), I32)], axis=1)
+    j_pay = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(N, dtype=I32), (H, N)),
+         jnp.broadcast_to(jnp.arange(Q, dtype=I32), (H, Q))], axis=1)
+    j_sid = jnp.concatenate(
+        [post_sids, jnp.zeros((H, Q), I32)], axis=1)
+    s_val, s_tag, s_pay, s_sid = jax.lax.sort(
+        (j_vals, j_tag, j_pay, j_sid), dimension=1, num_keys=2)
+    pos_j = jnp.broadcast_to(jnp.arange(M, dtype=I32), (H, M))
+    cum_q = jnp.cumsum(s_tag, axis=1)              # queries at or before j
+    right_j = pos_j + 1 - cum_q                    # postings at or before j
+    # left = postings before this element's value-run: propagate the
+    # run-start rank (non-decreasing, so a cummax carries it along runs)
+    new_run = jnp.concatenate(
+        [jnp.ones((H, 1), bool), s_val[:, 1:] != s_val[:, :-1]], axis=1)
+    left_j = jax.lax.cummax(
+        jnp.where(new_run, pos_j - (cum_q - s_tag), 0), axis=1)
+
+    # the channel path packs candidate ids and ranks into u32 halves
+    # (sort compile time explodes with operand count on this backend:
+    # 2key+18pay ~110s vs 1key+9pay ~35s at equal runtime), so it
+    # requires N and M to fit 16 bits; wider stores use the sort-join.
+    use_channels = (span_cap <= _CHANNEL_SPAN_MAX and N < 0xFFFF
+                    and M <= 0xFFFF)
+    packed_ch = []
+    if use_channels:
+        # span expansion IN the value join: a query's candidates are the
+        # first span_cap postings of its OWN value run (exact-value LSH
+        # match), and within a run all postings precede all queries (tag
+        # is the second sort key).  The posting at in-run offset d
+        # broadcasts its sid forward with ONE packed cummax (run-start
+        # position in the high bits: the prefix max at any element is
+        # the latest offset-d posting, valid iff its run is the
+        # element's own).  span_cap cummaxes over [H, M] replace the old
+        # [H, N + Q*span_cap] request sort-join + log-doubling fill +
+        # unsort sort -- the vote kernel's dominant cost.
+        rs1 = (jax.lax.cummax(jnp.where(new_run, pos_j, 0), axis=1)
+               + 1)                      # run start position + 1 (0=none)
+        rel = pos_j + 1 - rs1            # in-run offset
+        lo_bits = 16
+        sid_u = jnp.where(s_tag == 0, s_sid, 0).astype(jnp.uint32)
+        rs1_u = rs1.astype(jnp.uint32)
+        cnt_j = right_j - left_j         # run posting count (at queries)
+        pay = (rs1_u << U32(lo_bits)) | sid_u
+        chans = []
+        for d in range(span_cap):
+            ch = jax.lax.cummax(
+                jnp.where((rel == d) & (s_tag == 0), pay, U32(0)),
+                axis=1)
+            ok = ((ch >> U32(lo_bits)) == rs1_u) & (d < cnt_j)
+            sid_d = ch & U32(0xFFFF)
+            chans.append(jnp.where(ok, sid_d, U32(N)))
+        if len(chans) % 2:
+            chans.append(jnp.full((H, M), U32(N)))
+        packed_ch = [(chans[2 * i] << U32(16)) | chans[2 * i + 1]
+                     for i in range(len(chans) // 2)]
+
+    # back to query-slot order: postings (tag 0) first, queries by slot;
+    # ranks and channel candidates ride the same single-packed-key sort
+    key = (s_tag << 30) | s_pay
+    if use_channels:
+        lr = ((left_j.astype(jnp.uint32) << U32(16))
+              | right_j.astype(jnp.uint32))
+        srt = jax.lax.sort((key, lr, *packed_ch), dimension=1, num_keys=1)
+        lr_q = srt[1]
+        left = (lr_q >> U32(16)).astype(I32)[:, N:].T    # [Q, H]
+        right = (lr_q & U32(0xFFFF)).astype(I32)[:, N:].T
+    else:
+        _, b_left, b_right = jax.lax.sort((key, left_j, right_j),
+                                          dimension=1, num_keys=1)
+        left = b_left[:, N:].T                           # [Q, H]
+        right = b_right[:, N:].T
+    cnt = right - left
+    overflow = jnp.sum(jnp.maximum(cnt - span_cap, 0), axis=1).astype(I32)
+    hits_total = jnp.sum(cnt, axis=1).astype(I32)
+
+    if use_channels:
+        parts = []
+        for pk in srt[2:]:
+            q = pk[:, N:]
+            parts.append((q >> U32(16)).astype(I32))
+            parts.append((q & U32(0xFFFF)).astype(I32))
+        cand = jnp.stack(parts[:span_cap],
+                         axis=2).transpose(1, 0, 2)  # [Q, H, span_cap]
+    else:
+        # large spans / wide stores: the request sort-join expansion
+        cand = _expand_spans_sortjoin(post_sids, left, cnt, span_cap,
+                                      N, Q, H)
 
     # vote counting: sort hits per query, run-length the candidate ids
     flat = cand.reshape(Q, H * span_cap)
@@ -135,14 +205,12 @@ def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
     # run length = next run start - this run start (scan-free: use the
     # index of each run start and the following run start)
     run_start_idx = jnp.where(new_run, pos[None, :], M)
-    # next run start for each element: suffix-min of run_start_idx shifted
+    # next run start for each element: a suffix-min, i.e. a reversed
+    # cummin (the old log2(M)-step doubling loop cost ~14ms at the bench
+    # shape; one native cummin + two reversals is ~1ms)
     nxt = jnp.concatenate(
         [run_start_idx[:, 1:], jnp.full((Q, 1), M, I32)], axis=1)
-    d = 1
-    while d < M:
-        nxt = jnp.minimum(nxt, jnp.concatenate(
-            [nxt[:, d:], jnp.full((Q, d), M, I32)], axis=1))
-        d *= 2
+    nxt = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
     run_len = jnp.where(new_run,
                         jnp.minimum(nxt, valid_total) - pos[None, :], 0)
     run_len = jnp.maximum(run_len, 0)

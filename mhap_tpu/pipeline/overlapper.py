@@ -1620,14 +1620,17 @@ class TpuOverlapper:
                 ("host", postings, store), queries, q_sel[s:e], to_self))
 
         def score_ranges(upto):
-            """Slice plan covering pairs [0, upto): hint-sized speculative
-            head + remainder slices."""
+            """Slice plan covering pairs [0, upto): one SQ-quantized
+            dispatch (chunked at SCORE_DISPATCH_MAX).  Never split below
+            the full quantized size -- each distinct size is a separate
+            ~25s scorer compile on the remote compile server, and
+            hint-capped sub-slices used to compile a throwaway variant
+            on every cold process."""
             plan = []
             b = 0
             while b < upto:
-                size = min(max(self._score_hint, SQ),
-                           self.SCORE_DISPATCH_MAX)
-                size = min(size, ((upto - b + SQ - 1) // SQ) * SQ)
+                size = min(self.SCORE_DISPATCH_MAX,
+                           ((upto - b + SQ - 1) // SQ) * SQ)
                 plan.append((b, size))
                 b += size
             return plan
@@ -1654,8 +1657,16 @@ class TpuOverlapper:
                     p_cap=self.PAIR_CAP)
                 # speculative score of the hint-sized head; its readback
                 # rides the SAME pull as the vote stats (one link round
-                # trip per steady chunk)
-                head = score_ranges(min(self._score_hint, self.PAIR_CAP))
+                # trip per steady chunk).  On a COLD process the head
+                # size would compile a throwaway scorer variant (~28s on
+                # the remote compile server) -- skip speculation until
+                # the variant exists and dispatch exact sizes after the
+                # stats pull instead (one extra round trip, once).
+                head = [(b, sz)
+                        for b, sz in score_ranges(min(self._score_hint,
+                                                      self.PAIR_CAP))
+                        if ("slice", q_dev[0].shape[0], c_dev[0].shape[0],
+                            sz) in self._gather_score_cache]
                 head_packs = [self._score_slice(q_dev, c_dev, rows_dev,
                                                 pql, pc, b, sz)
                               for b, sz in head]
