@@ -105,6 +105,9 @@ class ShardedOverlapper(TpuOverlapper):
         self.D = int(mesh.devices.size)
         self.ROWS = 256 * self.D
         self.device_vote = True
+        # the sharded find path has its own stage structure; keep the
+        # sketch flags sync strict (single-chip deferral only)
+        self._defer_flags = False
         self.pair_chunk = max(self.pair_chunk,
                               ((self.pair_chunk + self.D - 1) // self.D)
                               * self.D)

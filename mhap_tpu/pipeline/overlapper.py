@@ -80,6 +80,11 @@ def _rc_codes(codes: np.ndarray) -> np.ndarray:
 ESC_INKERNEL = (16, 4)
 
 
+class OptimisticSketchMiss(Exception):
+    """Deferred-flags sketch found a zero-ngram row or weight escalation
+    after downstream work was already dispatched; redo strictly."""
+
+
 def _bucket_len(n: int, quantum: int = 256) -> int:
     """Length bucket: next power of two (>= quantum).  Pow2 snapping keeps
     the number of compiled kernel shapes logarithmic in the read-length
@@ -398,6 +403,9 @@ class TpuOverlapper:
         # force device_vote=True for parity coverage.
         self.device_vote = jax.default_backend() != "cpu"
         self.num_threads = None  # --num-threads: host-side pools (tools)
+        # overlap flows skip the sketch flags sync and verify after the
+        # find pass (see _check_pending); a miss turns this off
+        self._defer_flags = True
         # search statistics (MinHashSearch.java:51-58 atomics equivalent)
         self.stats = dict(matches_processed=0, sequences_searched=0,
                           elements_processed=0, sequences_hit=0,
@@ -659,7 +667,8 @@ class TpuOverlapper:
                          "ordered_p", "ordered_m"), o))
 
     def sketch_reads(self, reads: list[str], headers=None, offset: int = 0,
-                     do_rc: bool = True) -> SketchStore:
+                     do_rc: bool = True,
+                     defer_flags: bool = False) -> SketchStore:
         """Sketch fwd (+rev) of every read with the reference's skip rules
         (SequenceSketchStreamer.java:123-177: drop < minOlapLength, skip
         zero-ngram reads; ids keep counting across dropped reads)."""
@@ -683,7 +692,8 @@ class TpuOverlapper:
                                 else codes))
         if self.kmer_filter is not None:
             return self._sketch_entries_host(entries, do_rc)
-        return self._sketch_entries_device(entries, do_rc)
+        return self._sketch_entries_device(entries, do_rc,
+                                           defer=defer_flags)
 
     def _finalize_store(self, entries, do_rc, mh_valid, select_row):
         """Apply zero-ngram skip rules and build the metadata columns.
@@ -711,7 +721,8 @@ class TpuOverlapper:
             headers=[entries[j][2] for j in sel],
             **cols)
 
-    def _sketch_entries_device(self, entries, do_rc) -> SketchStore:
+    def _sketch_entries_device(self, entries, do_rc,
+                               defer: bool = False) -> SketchStore:
         """Device-resident sketching: 2-bit packed transfers in, sketch
         columns stay in HBM, one flags readback."""
         cfg = self.cfg
@@ -835,7 +846,27 @@ class TpuOverlapper:
 
         # one readback: (n_valid, max_w) for every chunk row (the eager
         # concat/stack are device-side dispatches, not transfers)
-        if chunks:
+        deferred_flags = None
+        if chunks and defer and not long_idx:
+            # OPTIMISTIC path (overlap flows only): the flags pull is the
+            # sketch stage's only host sync (~a link round trip) and at
+            # steady state it never fires anything -- no zero-ngram rows,
+            # no weight escalation.  Start an async copy, assume all rows
+            # valid at weight cap w_caps[0], and verify AFTER the find
+            # pass has pulled its own results (the async copy is done by
+            # then, so the check is free).  A miss raises
+            # OptimisticSketchMiss and the caller re-sketches strictly.
+            deferred_flags = jnp.stack([
+                jnp.concatenate([c["out"]["n_valid"] for c in chunks]),
+                jnp.concatenate([c["out"]["max_w"] for c in chunks])])
+            try:
+                deferred_flags.copy_to_host_async()
+            except AttributeError:
+                pass
+            total = sum(len(c["idxs"]) for c in chunks)
+            nv_all = np.ones(total, np.int32)
+            mw_all = np.ones(total, np.int32)
+        elif chunks:
             flags = self._host_arr(jnp.stack([
                 jnp.concatenate([c["out"]["n_valid"] for c in chunks]),
                 jnp.concatenate([c["out"]["max_w"] for c in chunks])]))
@@ -995,7 +1026,12 @@ class TpuOverlapper:
             return dict(minhash=cat2[0], ordered_h=cat2[1],
                         ordered_p=cat2[2], ordered_m=cat2[3], num_kmers=nk)
 
-        return self._finalize_store(entries, do_rc, mh_valid, select_row)
+        out_store = self._finalize_store(entries, do_rc, mh_valid,
+                                         select_row)
+        if deferred_flags is not None:
+            real_mask = np.concatenate([c["idxs"] >= 0 for c in chunks])
+            out_store._pending_flags = (deferred_flags, real_mask)
+        return out_store
 
     def _sketch_entries_host(self, entries, do_rc) -> SketchStore:
         """Host-materialized sketching (filter path + compatibility)."""
@@ -1513,7 +1549,10 @@ class TpuOverlapper:
     # overflowing 64k pairs falls back to the exact host route
     PAIR_CAP = 65536
     # score slices are padded to this quantum (bounds compile variants)
-    SCORE_SLICE_QUANTUM = 2048
+    # finer quantum = fewer wasted pad lanes per dispatch (the scorer
+    # costs ~12us/lane); the cold-gate in _find_matches_device keeps the
+    # compile count at one variant per distinct quantized size anyway
+    SCORE_SLICE_QUANTUM = 512
 
     def _score_slice(self, q_dev, c_dev, rows_dev, pql, pc, base: int,
                      size: int):
@@ -1794,27 +1833,66 @@ class TpuOverlapper:
         self.stats["sort_merge_time"] += time.perf_counter() - t0
         return lines
 
+    def _check_pending(self, store: SketchStore):
+        """Verify a deferred-flags store: the async flags copy has long
+        completed by the time results are pulled, so this is free on the
+        happy path.  Raises OptimisticSketchMiss when the optimistic
+        assumptions (no zero-ngram rows, no weight escalation) failed."""
+        pending = getattr(store, "_pending_flags", None)
+        if pending is None:
+            return
+        flags_dev, real_mask = pending
+        flags = np.asarray(flags_dev)
+        store._pending_flags = None
+        nv, mw = flags[0], flags[1]
+        if (nv[real_mask] <= 0).any() or \
+                (mw[real_mask] > ESC_INKERNEL[1]).any():
+            raise OptimisticSketchMiss
+
     def overlap_self(self, reads: list[str], headers=None) -> list[str]:
         """Self-overlap run; returns the sorted list of M4 lines."""
-        store = self.sketch_reads(reads, headers)
-        index = self._build_index(store)
-        q_sel = np.nonzero(store.is_fwd)[0]
-        return sorted(self._find_matches(store, index, store, q_sel, True))
+        defer = self._defer_flags
+        for attempt in range(2):
+            store = self.sketch_reads(reads, headers, defer_flags=defer)
+            try:
+                index = self._build_index(store)
+                q_sel = np.nonzero(store.is_fwd)[0]
+                lines = self._find_matches(store, index, store, q_sel,
+                                           True)
+                self._check_pending(store)
+                return sorted(lines)
+            except OptimisticSketchMiss:
+                # rare: zero-ngram reads or weight escalation; the
+                # dataset will keep tripping it, so stay strict
+                self._defer_flags = defer = False
+        raise AssertionError("strict sketch cannot miss")
 
     def overlap_query(self, box_reads: list[str], query_reads: list[str],
                       no_self: bool = False) -> list[str]:
         """Box-vs-query run (MhapMain usage 1 with -q)."""
-        box = self.sketch_reads(box_reads)
-        index = self._build_index(box)
-        lines = []
-        if not no_self:
-            q_sel = np.nonzero(box.is_fwd)[0]
-            lines += self._find_matches(box, index, box, q_sel, True)
-        n_box = box.n_real // 2
-        queries = self.sketch_reads(query_reads, offset=n_box, do_rc=False)
-        q_sel = np.arange(len(queries))
-        lines += self._find_matches(box, index, queries, q_sel, False)
-        return sorted(lines)
+        defer = self._defer_flags
+        for attempt in range(2):
+            box = self.sketch_reads(box_reads, defer_flags=defer)
+            try:
+                index = self._build_index(box)
+                lines = []
+                if not no_self:
+                    q_sel = np.nonzero(box.is_fwd)[0]
+                    lines += self._find_matches(box, index, box, q_sel,
+                                                True)
+                n_box = box.n_real // 2
+                queries = self.sketch_reads(query_reads, offset=n_box,
+                                            do_rc=False,
+                                            defer_flags=defer)
+                q_sel = np.arange(len(queries))
+                lines += self._find_matches(box, index, queries, q_sel,
+                                            False)
+                self._check_pending(box)
+                self._check_pending(queries)
+                return sorted(lines)
+            except OptimisticSketchMiss:
+                self._defer_flags = defer = False
+        raise AssertionError("strict sketch cannot miss")
 
 
 import os

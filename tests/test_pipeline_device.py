@@ -134,3 +134,41 @@ def test_weight_cap_inkernel_rung():
     for i, r in enumerate(reads):
         want = osk.minhash_sketch(r, 16, 64, None, 0.9)
         assert np.array_equal(mh[i], want), f"read {i} minhash mismatch"
+
+
+def test_deferred_flags_miss_redoes_strictly():
+    """overlap_self defers the sketch flags sync (OPTIMISTIC path); reads
+    whose max k-mer weight exceeds the in-kernel rung must trip
+    OptimisticSketchMiss and re-run strictly, with output identical to
+    the oracle (and to a strict-from-the-start overlapper)."""
+    rng = np.random.default_rng(11)
+    arr = np.array(list("ACGT"))
+    genome = arr[rng.integers(0, 4, 3000)]
+    unit = "".join(arr[rng.integers(0, 4, 30)])
+
+    def noisy(seg):
+        out = []
+        for b in seg:
+            r = rng.random()
+            if r < 0.02:
+                continue
+            if r < 0.05:
+                out.append(str(arr[rng.integers(0, 4)]))
+            out.append(b if r >= 0.08 else str(arr[rng.integers(0, 4)]))
+        return "".join(out)
+
+    # overlapping pair + a tandem-repeat read (weight > ESC_INKERNEL cap)
+    reads = [noisy(genome[:2000]), noisy(genome[800:2800]),
+             noisy(genome[1500:2200]) + unit * 8]
+    want = op.overlap_self(reads, CFG)
+
+    ov = TpuOverlapper(CFG, pair_chunk=64)
+    assert ov._defer_flags
+    got = ov.overlap_self(reads)
+    assert got == want
+    # the repeat-heavy read escalates -> deferral must have tripped off
+    assert not ov._defer_flags
+
+    strict = TpuOverlapper(CFG, pair_chunk=64)
+    strict._defer_flags = False
+    assert strict.overlap_self(reads) == want
