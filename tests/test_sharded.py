@@ -33,3 +33,29 @@ def test_mesh_shape_invariance(small_reads):
     got2 = sharded.self_overlap_sharded(m2, CFG, small_reads, top_k=16)
     got4 = sharded.self_overlap_sharded(m4, CFG, small_reads, top_k=16)
     assert got2 == got4
+
+
+def test_sharded_midsize_capacity_parity():
+    """VERDICT r2 item 4: a mid-size sharded run (600 reads, ~17x
+    coverage) that actually reaches the capacity/escalation machinery
+    (bucket pushes, vote ladder, pair compaction) which 10-read units
+    cannot -- line-set equality vs the oracle on an 8-device mesh."""
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    glen = 28_000
+    genome = rng.integers(0, 4, glen + 1200)
+    reads = []
+    for _ in range(600):
+        pos = int(rng.integers(0, glen))
+        L = int(rng.integers(500, 1100))
+        raw = genome[pos:pos + int(L * 1.15)]
+        r = rng.random(len(raw))
+        keep = r >= 0.03                  # deletions
+        sub = (r >= 0.03) & (r < 0.06)    # substitutions
+        out = np.where(sub, rng.integers(0, 4, len(raw)), raw)[keep][:L]
+        reads.append(bytes(bases[out]).decode())
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    got = sharded.self_overlap_sharded(mesh, CFG, reads, top_k=16)
+    want = op.overlap_self(reads, CFG)
+    assert got == want
+    assert len(got) > 300  # deep coverage must produce real overlap mass
