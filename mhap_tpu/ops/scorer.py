@@ -480,17 +480,27 @@ def _sorted_pair_structure_sort(a_h, a_p, a_m, b_h, b_p, b_m):
     _sorted_pair_structure for the dispatch."""
     S = a_h.shape[0]
     slot = jnp.arange(S, dtype=I32)
-    is_pad = jnp.concatenate([slot >= a_m, slot >= b_m]).astype(U32)
+    is_pad = jnp.concatenate([slot >= a_m, slot >= b_m])
     h = jnp.concatenate([a_h, b_h])
     p = jnp.concatenate([a_p, b_p])
     tag = jnp.concatenate([jnp.zeros((S,), I32), jnp.ones((S,), I32)])
-    ip, s_h, s_tag, s_p = jax.lax.sort((is_pad, h, tag, p), num_keys=4)
-    real = ip == 0
+    # packed 2-limb key, same scheme as the merge variant below: limb0 =
+    # signed hash as unsigned (pads -> UMAX), limb1 = tag<<31 | pos
+    # (pads -> UMAX).  2 sort keys instead of 4 -- XLA sort compile time
+    # and runtime both scale with operand count.
+    k0 = jnp.where(is_pad, _UMAXU, h.astype(U32) ^ U32(0x80000000))
+    k1 = jnp.where(is_pad, _UMAXU,
+                   p.astype(U32) | (tag.astype(U32) << U32(31)))
+    s0, s1 = jax.lax.sort((k0, k1), num_keys=2)
+    real = ~((s0 == _UMAXU) & (s1 == _UMAXU))
+    s_h = (s0 ^ U32(0x80000000)).astype(I32)
+    s_tag = (s1 >> U32(31)).astype(I32)
+    s_p = (s1 & U32(0x7FFFFFFF)).astype(I32)
     n2 = 2 * S
     first = real & jnp.concatenate(
         [jnp.ones((1,), bool), s_h[1:] != s_h[:-1]])
     last = real & jnp.concatenate(
-        [(s_h[1:] != s_h[:-1]) | (ip[1:] != 0), jnp.ones((1,), bool)])
+        [(s_h[1:] != s_h[:-1]) | ~real[1:], jnp.ones((1,), bool)])
     idx = jnp.arange(n2, dtype=I32)
     return dict(h=s_h, p=s_p, tag=s_tag, real=real, first=first, last=last,
                 idx=idx)
@@ -731,15 +741,19 @@ def _compact_shared_runs(st, W: int, max_span: int | None):
     shared = shared & real
     n_shared = jnp.sum(shared.astype(I32))
     key = jnp.where(shared, idx, n2 + idx)
-    _, hs, ps, ts = jax.lax.sort((key, h, p, tag), num_keys=1)
+    # pos+tag packed into one payload (pos is a non-negative int32):
+    # fewer sort operands = faster compile AND runtime
+    pt = p.astype(U32) | (tag.astype(U32) << U32(31))
+    _, hs, pts = jax.lax.sort((key, h, pt), num_keys=1)
     real2 = jnp.arange(W, dtype=I32) < n_shared
     h2 = hs[:W]
     first2 = real2 & jnp.concatenate(
         [jnp.ones((1,), bool), h2[1:] != h2[:-1]])
     last2 = real2 & jnp.concatenate(
         [(h2[1:] != h2[:-1]) | ~real2[1:], jnp.ones((1,), bool)])
-    st2 = dict(h=h2, p=ps[:W], tag=ts[:W], real=real2, first=first2,
-               last=last2, idx=jnp.arange(W, dtype=I32))
+    st2 = dict(h=h2, p=(pts[:W] & U32(0x7FFFFFFF)).astype(I32),
+               tag=(pts[:W] >> U32(31)).astype(I32), real=real2,
+               first=first2, last=last2, idx=jnp.arange(W, dtype=I32))
     return st2, n_shared
 
 
