@@ -250,11 +250,20 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
+    # two settling runs: the vote-ladder level and score-size variants
+    # stabilize across the first runs, each new size paying a multi-
+    # second compile that must not pollute the steady number
+    settle = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ov.overlap_self(reads)
+        settle.append(round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     steady = time.perf_counter() - t0
     out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
-           "warm_s": round(warm, 1), "steady_s": round(steady, 2),
+           "warm_s": round(warm, 1), "settle_s": settle,
+           "steady_s": round(steady, 2),
            "overlaps": len(lines), "peak_rss_mb": round(_peak_rss_mb(), 1)}
     if verify_native:
         t0 = time.perf_counter()
