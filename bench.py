@@ -282,9 +282,11 @@ def bench_device(reads):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
-    # steady state = median of 3 runs AFTER a settling run (the run right
-    # after the cold one still pays vote-ladder escalation probing and
-    # compile stragglers; from run 3 on, times are stable)
+    # steady state = median of 3 runs AFTER two settling runs (the runs
+    # right after the cold one still pay vote-ladder escalation probing
+    # and compile stragglers -- the cold-gated speculative score variant
+    # compiles on run 2; from run 4 on, times are stable)
+    ov.overlap_self(reads)
     ov.overlap_self(reads)
     times = []
     for _ in range(3):
