@@ -1,0 +1,392 @@
+"""Join-once LSH vote for WIDE stores (reference scale, N >= 2^16).
+
+The per-chunk fused vote (index/postings.py) re-scans all N postings for
+every query chunk: at 40k reads (N ~ 80k postings per band) that is the
+dominant cost of the whole run.  This module restructures the vote
+around ONE global value join per dataset (the scaling-book "sort once,
+slice often" discipline):
+
+  stage A  (per band group): one 2-operand join sort of postings+queries
+           per band -> run ranks (left / cnt) for EVERY query, plus the
+           in-run offset channels' inputs.  One more 2-operand sort
+           returns (left, cnt) to query-slot order.  Exact run counts
+           for all (query, band) cells BEFORE any expansion: no
+           escalation ladder, no speculative re-dispatch, ever.
+  stats    one small pull: per-query hit mass, max run count, residual
+           mass beyond candidate spans -> span + residual plan chosen
+           from the DATA (span in {8,16,32}).
+  stage B  (per band group): candidate extraction as split-sid
+           double-cummax channels over the joined order (channel d
+           broadcasts the run's d-th posting; two u32 cummaxes carry
+           (run-start << B | sid-half) so any N fits), then ONE compiled
+           5-operand unsort program transports 4 channels per dispatch
+           back to query-slot order.
+  residual run cells with cnt > span contribute their remaining
+           postings EXACTLY through a host-built flat gather (measured
+           cheap: ~35ms for 500k elements) scattered into E extra
+           candidate columns; queries whose residual exceeds E fall back
+           to the exact host vote.
+  stage C  (per fixed-size query chunk): one u32 sort of the candidate
+           row counts votes by run length; suppression is a pure
+           row-index compare (store rows are header-ordered, so
+           hid_c < hid_q  <=>  row_c < row_q -- no gathers); packed
+           (votes << 17 | sid) top_k bounds the per-query survivors; a
+           flat sort compacts pairs.  Pair buffers accumulate on device;
+           the host syncs ONCE for all stats + pair counts.
+
+Reference semantics: impl/MinHashSearch.java:149-225 (vote counting,
+minMatches threshold, suppression rules at default minStoreLength=0).
+Exactness: run counts are exact, spans+residuals cover every posting,
+saturated/overflowed/monster queries are re-run on the exact host path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+TAG_BIT = 24  # tagpay = tag << TAG_BIT | (sid or qslot); needs N,Q < 2^24
+SPANS = (8, 16, 32)       # compiled stage-B span variants (at most one
+#                           per dataset is actually compiled)
+E_RESID = 64              # extra candidate columns for residual hits
+CNT_CAP = 255             # run counts clip here; bigger cells -> host
+K_TOP = 384               # per-query survivor buffer
+QC = 4096                 # stage-C query chunk
+CHANS_PER_UNSORT = 4      # payload channels per unsort dispatch
+
+
+@partial(jax.jit, static_argnames=("Hg",))
+def _stage_a_join(post_vals, post_sids, q_t, *, Hg: int):
+    """Join + ranks for one band group.
+
+    post_vals/post_sids: [Hg, N] i32; q_t: [Hg, Q] i32 (query minhash
+    transposed).  Returns (s_tp, rs1, rel [Hg, M] i32, lrpack [Hg, M]
+    u32) in joined order."""
+    N = post_vals.shape[1]
+    Q = q_t.shape[1]
+    M = N + Q
+    tp_p = post_sids
+    tp_q = jnp.broadcast_to(
+        jnp.arange(Q, dtype=I32) + (1 << TAG_BIT), (Hg, Q))
+    j_vals = jnp.concatenate([post_vals, q_t], axis=1)
+    j_tp = jnp.concatenate([tp_p, tp_q], axis=1)
+    s_val, s_tp = jax.lax.sort((j_vals, j_tp), dimension=1, num_keys=2)
+    tag = s_tp >> TAG_BIT
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=I32), (Hg, M))
+    cum_q = jnp.cumsum(tag, axis=1)
+    right = pos + 1 - cum_q
+    new_run = jnp.concatenate(
+        [jnp.ones((Hg, 1), bool), s_val[:, 1:] != s_val[:, :-1]], axis=1)
+    left = jax.lax.cummax(
+        jnp.where(new_run, pos - (cum_q - tag), 0), axis=1)
+    rs1 = jax.lax.cummax(jnp.where(new_run, pos, 0), axis=1) + 1
+    rel = pos + 1 - rs1
+    cnt = right - left
+    lrpack = ((left.astype(U32) << U32(8))
+              | jnp.minimum(cnt, CNT_CAP).astype(U32))
+    return s_tp, rs1, rel, lrpack
+
+
+@jax.jit
+def _stage_a_unsort(s_tp, lrpack):
+    """(left, cnt) back to query-slot order: [Hg, Q] u32 (queries occupy
+    the last Q joined slots after sorting by tagpay)."""
+    N_plus_Q = s_tp.shape[1]
+    _, lr = jax.lax.sort((s_tp, lrpack), dimension=1, num_keys=1)
+    return lr  # caller slices [:, N:]
+
+
+@jax.jit
+def _stats_from_cnt(cnt_hq):
+    """cnt_hq: [H, Q] i32 -> per-query stats for the span/residual plan."""
+    hits = jnp.sum(cnt_hq, axis=0)
+    mx = jnp.max(cnt_hq, axis=0)
+    resid = [jnp.sum(jnp.maximum(cnt_hq - s, 0), axis=0) for s in SPANS]
+    return (hits.astype(I32), mx.astype(I32)) + tuple(
+        r.astype(I32) for r in resid)
+
+
+@partial(jax.jit, static_argnames=("span", "b_half", "first_chan"))
+def _stage_b_channels(s_tp, rs1, rel, *, span: int, b_half: int,
+                      first_chan: int):
+    """CHANS_PER_UNSORT candidate channels [first_chan, first_chan+4) in
+    joined order: channel d broadcasts the run's d-th posting sid to
+    every later element of the run with two split-sid cummaxes."""
+    tag0 = (s_tp >> TAG_BIT) == 0
+    sid = (s_tp & ((1 << TAG_BIT) - 1)).astype(U32)
+    mask = U32((1 << b_half) - 1)
+    rs1u = rs1.astype(U32)
+    chans = []
+    for d in range(first_chan, min(first_chan + CHANS_PER_UNSORT, span)):
+        sel = tag0 & (rel == d)
+        hi = jax.lax.cummax(
+            jnp.where(sel, (rs1u << U32(b_half)) | (sid >> U32(b_half)),
+                      U32(0)), axis=1)
+        lo = jax.lax.cummax(
+            jnp.where(sel, (rs1u << U32(b_half)) | (sid & mask),
+                      U32(0)), axis=1)
+        chans.append(((hi & mask) << U32(b_half)) | (lo & mask))
+    while len(chans) < CHANS_PER_UNSORT:
+        chans.append(jnp.zeros_like(s_tp, dtype=U32))
+    return tuple(chans)
+
+
+@jax.jit
+def _stage_b_unsort(s_tp, c0, c1, c2, c3):
+    """ONE compiled 5-operand transport: 4 channels to query-slot order."""
+    out = jax.lax.sort((s_tp, c0, c1, c2, c3), dimension=1, num_keys=1)
+    return out[1:]
+
+
+@partial(jax.jit, static_argnames=("span", "Hg"))
+def _assemble_qmajor(chans_q, lr_q, *, span: int, Hg: int):
+    """[span, Hg, Q] channels + [Hg, Q] lrpack -> [Q, Hg*span] u32
+    candidates (invalid -> 0xFFFFFFFF sentinel, sorts last)."""
+    cnt = (lr_q & U32(0xFF)).astype(I32)  # [Hg, Q]
+    st = jnp.stack(chans_q, axis=0)       # [span, Hg, Q]
+    dd = jnp.arange(span, dtype=I32)[:, None, None]
+    ok = dd < cnt[None, :, :]
+    st = jnp.where(ok, st, U32(0xFFFFFFFF))
+    return st.transpose(2, 1, 0).reshape(st.shape[2], Hg * span)
+
+
+@partial(jax.jit, static_argnames=("span",))
+def _resid_descriptors(cnt_hq, lr_hq, *, span: int):
+    """Compact (band, q, left, cnt) descriptors of cells with
+    cnt > span: flat 2-op sort over [H*Q]."""
+    H, Q = cnt_hq.shape
+    flat_cnt = cnt_hq.reshape(-1)
+    flat_lr = lr_hq.reshape(-1)
+    over = flat_cnt > span
+    idx = jnp.arange(H * Q, dtype=I32)
+    key = jnp.where(over, idx, jnp.iinfo(jnp.int32).max)
+    s_key, s_lr = jax.lax.sort((key, flat_lr), num_keys=1)
+    n_over = jnp.sum(over.astype(I32))
+    return s_key, s_lr, n_over
+
+
+@jax.jit
+def _resid_gather(post_sids_all, bands, slots):
+    """Flat gather of residual posting sids: [R] from [H, N]."""
+    return post_sids_all[bands, slots]
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+class JoinedIndex:
+    """Wide-store vote driver state (built once per (store, queries))."""
+
+    def __init__(self, post_vals, post_sids, query_mh, q_rows,
+                 band_groups: int | None = None):
+        """post_vals/post_sids: [H, N] device (build_postings_device);
+        query_mh: [Nq, H] device store minhash; q_rows: [Q] int32 host
+        (global query store rows, e.g. fwd rows for self-overlap)."""
+        H, N = post_vals.shape
+        Q = len(q_rows)
+        if N >= (1 << TAG_BIT) or Q >= (1 << TAG_BIT):
+            raise ValueError("store exceeds the 2^24-row join pack")
+        self.H, self.N, self.Q = H, N, Q
+        self.M = N + Q
+        # split-sid bit budget: rs1 needs ceil(log2(M+1)) bits
+        bits_rs = (self.M + 1).bit_length()
+        self.b_half = 32 - bits_rs
+        if 2 * self.b_half < max(N.bit_length(), 1):
+            raise ValueError("store too large for split-sid channels")
+        G = band_groups or max(1, (self.M * H) // (64 << 20))
+        while H % G:
+            G += 1
+        self.G = G
+        self.Hg = H // G
+        self.post_vals = post_vals
+        self.post_sids = post_sids
+        self.q_rows = np.asarray(q_rows, np.int32)
+        q_rows_dev = jnp.asarray(self.q_rows)
+        self.q_t_full = query_mh[q_rows_dev].T  # [H, Q] device
+        # stage A per group
+        self.joined = []   # (s_tp, rs1, rel) per group
+        lr_groups = []
+        for g in range(self.G):
+            sl = slice(g * self.Hg, (g + 1) * self.Hg)
+            s_tp, rs1, rel, lrpack = _stage_a_join(
+                post_vals[sl], post_sids[sl], self.q_t_full[sl],
+                Hg=self.Hg)
+            self.joined.append((s_tp, rs1, rel))
+            lr_groups.append(_stage_a_unsort(s_tp, lrpack)[:, N:])
+        self.lr_hq = jnp.concatenate(lr_groups, axis=0)  # [H, Q] u32
+        self.cnt_hq = (self.lr_hq & U32(0xFF)).astype(I32)
+        st = _stats_from_cnt(self.cnt_hq)
+        stats = np.asarray(jnp.stack(st))
+        self.hits_q = stats[0]
+        self.max_cnt_q = stats[1]
+        self.resid_q = {s: stats[2 + i] for i, s in enumerate(SPANS)}
+
+    def plan_span(self, resid_elem_cap: int = 1 << 18,
+                  fallback_cap: int = 512):
+        """Smallest span whose residual fits the budgets.  Returns
+        (span, fallback_rows): fallback rows (monster queries) are
+        excluded from the device vote and re-run on the exact host
+        path."""
+        for span in SPANS:
+            resid = self.resid_q[span]
+            fb = (resid > E_RESID) | (self.max_cnt_q >= CNT_CAP)
+            eff = resid[~fb].sum()
+            if eff <= resid_elem_cap and fb.sum() <= fallback_cap:
+                return span, np.nonzero(fb)[0]
+        span = SPANS[-1]
+        resid = self.resid_q[span]
+        fb = (resid > E_RESID) | (self.max_cnt_q >= CNT_CAP)
+        return span, np.nonzero(fb)[0]
+
+    def build_candidates(self, span: int):
+        """Stage B: the [Q, H*span + E_RESID] u32 candidate buffer."""
+        parts = []
+        for g in range(self.G):
+            s_tp, rs1, rel = self.joined[g]
+            chans_q = []
+            for fc in range(0, span, CHANS_PER_UNSORT):
+                ch = _stage_b_channels(s_tp, rs1, rel, span=span,
+                                       b_half=self.b_half, first_chan=fc)
+                out = _stage_b_unsort(s_tp, *ch)
+                take = min(CHANS_PER_UNSORT, span - fc)
+                chans_q.extend(o[:, self.N:] for o in out[:take])
+            sl = slice(g * self.Hg, (g + 1) * self.Hg)
+            parts.append(_assemble_qmajor(
+                tuple(chans_q), self.lr_hq[sl], span=span, Hg=self.Hg))
+        cand = jnp.concatenate(parts, axis=1)  # [Q, H*span]
+        sent = jnp.full((self.Q, E_RESID), 0xFFFFFFFF, U32)
+        return jnp.concatenate([cand, sent], axis=1)
+
+    def apply_residuals(self, cand, span: int):
+        """Exact residual hits for cells with cnt > span, via ONE small
+        host round trip.  Returns (cand', overflow_rows) where
+        overflow_rows exceeded E_RESID and must host-fallback."""
+        total = int(self.resid_q[span].sum())
+        if total == 0:
+            return cand, np.zeros(0, np.int64)
+        s_key, s_lr, n_over = _resid_descriptors(self.cnt_hq, self.lr_hq,
+                                                 span=span)
+        n_over = int(n_over)
+        desc_key = np.asarray(s_key[:n_over])
+        desc_lr = np.asarray(s_lr[:n_over])
+        bands = desc_key // self.Q
+        qs = desc_key % self.Q
+        left = (desc_lr >> 8).astype(np.int64)
+        cnts = (desc_lr & 0xFF).astype(np.int64)
+        reps = np.minimum(cnts, CNT_CAP) - span
+        keep = reps > 0
+        bands, qs, left, reps = bands[keep], qs[keep], left[keep], reps[keep]
+        flat_b = np.repeat(bands, reps).astype(np.int32)
+        flat_q = np.repeat(qs, reps)
+        starts = np.repeat(left + span, reps)
+        offs = np.arange(len(flat_b)) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        flat_slot = (starts + offs).astype(np.int32)
+        sids = np.asarray(_resid_gather(self.post_sids,
+                                        jnp.asarray(flat_b),
+                                        jnp.asarray(flat_slot)))
+        # pack per query into E_RESID columns (host-side; tiny)
+        order = np.argsort(flat_q, kind="stable")
+        fq, fs = flat_q[order], sids[order]
+        uq, qstart, qcnt = np.unique(fq, return_index=True,
+                                     return_counts=True)
+        overflow_rows = uq[qcnt > E_RESID]
+        fill = np.full((len(uq), E_RESID), 0xFFFFFFFF, np.uint32)
+        for i, (st0, c) in enumerate(zip(qstart, qcnt)):
+            c2 = min(int(c), E_RESID)
+            fill[i, :c2] = fs[st0:st0 + c2]
+        W0 = cand.shape[1] - E_RESID
+        cand = cand.at[jnp.asarray(uq.astype(np.int32)), W0:].set(
+            jnp.asarray(fill))
+        return cand, overflow_rows
+
+
+@partial(jax.jit, static_argnames=("mm", "to_self", "p_cap"))
+def vote_chunk(cand_slice, q_store_rows, q_valid, *, mm: int,
+               to_self: bool, p_cap: int):
+    """Stage C for one query chunk.
+
+    cand_slice: [QC, W0] u32 (0xFFFFFFFF = invalid); q_store_rows [QC]
+    i32 global store rows of the queries (-1 pad); q_valid [QC] bool.
+    Suppression at minStoreLength=0 reduces to a row compare: store rows
+    are header-ordered with the query's own fwd row first, so keeping
+    hid_c < hid_q is exactly cand_row < query_row
+    (MinHashSearch.java:199-225).
+
+    Returns (pairs_q [p_cap] i32 store rows, pairs_c [p_cap] i32,
+    stats [4, QC]: hits-mass is tracked by the caller; rows are
+    0: distinct candidates hit, 1: saturated flag, 2: surviving pairs
+    per query, 3: slot 0 = chunk pair count)."""
+    Qc, W0 = cand_slice.shape
+    s = jnp.sort(cand_slice, axis=1)
+    sent = s == U32(0xFFFFFFFF)
+    new_run = jnp.concatenate(
+        [jnp.ones((Qc, 1), bool), s[:, 1:] != s[:, :-1]], axis=1) & ~sent
+    pos = jnp.broadcast_to(jnp.arange(W0, dtype=I32), (Qc, W0))
+    run_start = jnp.where(new_run, pos, W0)
+    nxt = jnp.concatenate(
+        [run_start[:, 1:], jnp.full((Qc, 1), W0, I32)], axis=1)
+    nxt = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    n_valid = jnp.sum((~sent).astype(I32), axis=1, keepdims=True)
+    run_len = jnp.where(new_run, jnp.minimum(nxt, n_valid) - pos, 0)
+    run_len = jnp.maximum(run_len, 0)
+    distinct = jnp.sum(new_run.astype(I32), axis=1)
+
+    votes = jnp.where(new_run & (run_len >= mm), run_len, 0)
+    sid = s.astype(I32)
+    if to_self:
+        votes = jnp.where(sid < q_store_rows[:, None], votes, 0)
+    votes = jnp.where(q_valid[:, None], votes, 0)
+    # votes <= H (a candidate posts once per band), so 10 bits suffice
+    # and sid gets 21 (stores up to 2M rows)
+    packed = (jnp.minimum(votes, 1023) << 21) | jnp.where(
+        votes > 0, sid, 0)
+    topp, _ = jax.lax.top_k(packed, K_TOP)
+    top_votes = topp >> 21
+    top_cand = jnp.where(top_votes > 0, topp & ((1 << 21) - 1), -1)
+    saturated = top_votes[:, -1] > 0
+    pair_cnt_q = jnp.sum((top_votes > 0).astype(I32), axis=1)
+
+    # compact pairs to [p_cap] by flat sort (q-major order)
+    QK = Qc * K_TOP
+    keep = (top_cand >= 0).reshape(QK)
+    order = jnp.arange(QK, dtype=I32)
+    key = jnp.where(keep, order, QK)
+    ql = order // K_TOP
+    qrow = q_store_rows[jnp.clip(ql, 0, Qc - 1)]
+    _, s_q, s_c = jax.lax.sort(
+        (key, qrow, top_cand.reshape(QK)), num_keys=1)
+    cnt = jnp.sum(keep).astype(I32)
+    take = min(p_cap, QK)
+    in_cnt = jnp.arange(take, dtype=I32) < cnt
+    pairs_q = jnp.where(in_cnt, s_q[:take], -1)
+    pairs_c = jnp.where(in_cnt, s_c[:take], -1)
+    if take < p_cap:
+        pad = jnp.full((p_cap - take,), -1, I32)
+        pairs_q = jnp.concatenate([pairs_q, pad])
+        pairs_c = jnp.concatenate([pairs_c, pad])
+    counters = jnp.zeros((Qc,), I32).at[0].set(cnt)
+    stats = jnp.stack([distinct, saturated.astype(I32), pair_cnt_q,
+                       counters])
+    return pairs_q, pairs_c, stats
+
+
+@partial(jax.jit, static_argnames=("total_cap",))
+def compact_pairs(pairs_q_all, pairs_c_all, *, total_cap: int):
+    """Concat + compact per-chunk pair buffers to one run buffer."""
+    q = pairs_q_all.reshape(-1)
+    c = pairs_c_all.reshape(-1)
+    keep = q >= 0
+    idx = jnp.arange(q.shape[0], dtype=I32)
+    key = jnp.where(keep, idx, jnp.iinfo(jnp.int32).max)
+    _, s_q, s_c = jax.lax.sort((key, q, c), num_keys=1)
+    total = jnp.sum(keep.astype(I32))
+    take = min(total_cap, q.shape[0])
+    return s_q[:take], s_c[:take], total

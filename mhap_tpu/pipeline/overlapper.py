@@ -1256,7 +1256,13 @@ class TpuOverlapper:
         targets the last row so padded lanes exit the scorer immediately
         instead of scoring a real self-pair (which, in the while-loop
         exact scorer, runs the automaton over a full-overlap pair and
-        dominates the dispatch)."""
+        dominates the dispatch).
+
+        Tuple layout: (ordered_h, ordered_p, ordered_m, num_kmers,
+        ordered_h_rev, ordered_p_rev).  The _rev columns are row-reversed
+        copies for the fused pallas scorer's b side (Mosaic has no `rev`;
+        the bitonic merge wants the candidate list descending), computed
+        once per store on device."""
         N = len(store)
         N_pad = (N // quantum + 1) * quantum
         cached = store._dev_cache
@@ -1273,14 +1279,24 @@ class TpuOverlapper:
                 a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                             constant_values=pad_vals[name])
             cols.append(a)
+        if self._use_pallas_scorer():
+            oh_r, op_r = _reverse_cols_jit(cols[0], cols[1])
+            cols += [oh_r, op_r]
         dev = tuple(cols)
         store._dev_cache = (N_pad, dev)
         return dev
 
+    def _use_pallas_scorer(self) -> bool:
+        """Fused VMEM scorer kernel on accelerators (ops/scorer_pallas);
+        the XLA fast pass stays the CPU/test path and the first
+        escalation rung."""
+        return (_SCORER_IMPL == "pallas"
+                and jax.default_backend() != "cpu")
+
     def _pull_rows(self, store: SketchStore, rows: np.ndarray):
         """Materialize a few sketch rows to host (slow-lane fallback):
         one packed transfer."""
-        oh, op, om, nk = self._dev_store(store)
+        oh, op, om, nk = self._dev_store(store)[:4]
         r = jnp.asarray(rows.astype(np.int32))
         packed = np.asarray(jnp.concatenate(
             [oh[r], op[r], om[r][:, None], nk[r][:, None]], axis=1))
@@ -1297,18 +1313,41 @@ class TpuOverlapper:
                    "needs_slow", "slow_flag")
 
     def _build_score_body(self, T_static: int):
-        """Traceable gather+score body (the scan fast path, exact for all
-        lanes except run-length / record-capacity / replay-budget
-        overflows -- ambiguous runs are replayed in program by
-        ops/scorer._replay_runs).  A while-loop exact automaton is
+        """Traceable gather+score body.  On accelerators this is the
+        fused VMEM pallas kernel (ops/scorer_pallas) -- ambiguous lanes
+        flag needs_slow and re-score through the XLA fast pass (which
+        replays them in-program) before the exact automaton.  On CPU the
+        XLA fast pass runs directly.  A while-loop exact automaton is
         deliberately NOT embedded here: while_loop programs carry a
         ~60ms fixed launch cost on this backend even at zero iterations,
-        so the rare flagged lanes take the separate _rescore_slow
-        dispatch instead.  Returns fn(q_cols..., c_cols..., qi, ci) ->
-        dict of [T] arrays (SCORE_NAMES keys)."""
+        so the rare flagged lanes take separate dispatches instead.
+        Returns fn(q_dev, c_dev, qi, ci) -> dict of [T] arrays
+        (SCORE_NAMES keys)."""
+        if self._use_pallas_scorer():
+            from ..ops.scorer_pallas import score_pairs_pallas
+
+            mm = _kscorer.fixed_point_constant(self.cfg["max_shift"])
+            S = self.cfg["ordered_sketch_size"]
+
+            def body(q_dev, c_dev, qi, ci):
+                qoh, qop, qom, qnk = q_dev[:4]
+                com, cnk, cohr, copr = (c_dev[2], c_dev[3], c_dev[4],
+                                        c_dev[5])
+                out = score_pairs_pallas(
+                    qoh[qi], qop[qi], qom[qi], qnk[qi],
+                    cohr[ci], copr[ci], com[ci], cnk[ci],
+                    max_shift_mul=mm, sketch_size=S)
+                out = dict(out)
+                out["slow_flag"] = out["needs_slow"]
+                return out
+
+            return body
+
         fn = self._score_fast
 
-        def body(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
+        def body(q_dev, c_dev, qi, ci):
+            qoh, qop, qom, qnk = q_dev[:4]
+            coh, cop, com, cnk = c_dev[:4]
             out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
                      coh[ci], cop[ci], com[ci], cnk[ci])
             out["slow_flag"] = out["needs_slow"]
@@ -1331,10 +1370,12 @@ class TpuOverlapper:
             gf = self._gather_score_cache.get(key)
             if gf is None:
                 body = self._build_score_body(len(qq_p))
+                nq = len(q_dev)
 
-                def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
-                    out = body(qoh, qop, qom, qnk, coh, cop, com, cnk,
-                               qi, ci)
+                def impl(*args):
+                    qd, cd = args[:nq], args[nq:-2]
+                    qi, ci = args[-2:]
+                    out = body(qd, cd, qi, ci)
                     return jnp.stack([out[k].astype(jnp.int32)
                                       for k in names])
 
@@ -1399,10 +1440,10 @@ class TpuOverlapper:
         score, raw, edges = self._identity_scores(out)
 
         self.slow_pair_count += int(out["slow_flag"].sum())
-        ns = out["needs_slow"].astype(bool)  # inline-cap overflow only
+        ns = out["needs_slow"].astype(bool)  # escalation-flagged lanes
         if ns.any():
             slow_t = np.nonzero(ns)[0]
-            sc2, raw2, edges2 = self._rescore_slow(
+            sc2, raw2, edges2 = self._rescore_escal(
                 qs, cs, qi[slow_t].astype(np.int32),
                 ci[slow_t].astype(np.int32))
             score[slow_t] = sc2
@@ -1413,6 +1454,67 @@ class TpuOverlapper:
     # flagged-lane dispatch quantum: bounds jit variants for the exact
     # while-loop scorer (typical flag counts are tens of lanes)
     SLOW_QUANTUM = 128
+    # escalation quantum for the XLA fast-pass rung (pallas-flagged
+    # ambiguous lanes, ~0.4% of real pairs: the XLA pass replays them
+    # exactly in-program)
+    FAST_ESCAL_QUANTUM = 2048
+
+    def _rescore_fast(self, qs, cs, q_rows, c_rows):
+        """Middle escalation rung: re-score pallas-flagged lanes with the
+        XLA fast pass (in-program replay makes it exact for ambiguous
+        runs).  Returns the SCORE_NAMES dict; its own needs_slow lanes
+        (replay-budget / shared-cap / long-run overflows) still require
+        the exact automaton."""
+        q_dev = self._dev_store(qs)
+        c_dev = self._dev_store(cs) if cs is not qs else q_dev
+        T = len(q_rows)
+        P = self.FAST_ESCAL_QUANTUM
+        parts = []
+        names = self.SCORE_NAMES
+        for s in range(0, T, P):
+            e = min(s + P, T)
+            qq_p = np.full(P, q_dev[0].shape[0] - 1, np.int32)
+            cc_p = np.full(P, c_dev[0].shape[0] - 1, np.int32)
+            qq_p[:e - s] = q_rows[s:e]
+            cc_p[:e - s] = c_rows[s:e]
+            key = ("xlafast", q_dev[0].shape[0], c_dev[0].shape[0], P)
+            gf = self._gather_score_cache.get(key)
+            if gf is None:
+                fn = self._score_fast
+
+                def impl(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci):
+                    out = fn(qoh[qi], qop[qi], qom[qi], qnk[qi],
+                             coh[ci], cop[ci], com[ci], cnk[ci])
+                    out["slow_flag"] = out["needs_slow"]
+                    return jnp.stack([out[k].astype(jnp.int32)
+                                      for k in names])
+
+                gf = jax.jit(impl)
+                self._gather_score_cache[key] = gf
+            parts.append(np.asarray(gf(
+                *q_dev[:4], *c_dev[:4], jnp.asarray(qq_p),
+                jnp.asarray(cc_p)))[:, :e - s])
+        packed = (np.concatenate(parts, axis=1) if len(parts) > 1
+                  else parts[0])
+        return {n: packed[i] for i, n in enumerate(names)}
+
+    def _rescore_escal(self, qs, cs, q_rows, c_rows):
+        """Escalation chain for flagged lanes: XLA fast pass first (when
+        the primary body was the pallas kernel), exact automaton for
+        whatever it still flags.  Returns (score, raw, edges)."""
+        if not self._use_pallas_scorer():
+            return self._rescore_slow(qs, cs, q_rows, c_rows)
+        out = self._rescore_fast(qs, cs, q_rows, c_rows)
+        score, raw, edges = self._identity_scores(out)
+        ns = out["needs_slow"].astype(bool)
+        if ns.any():
+            slow_t = np.nonzero(ns)[0]
+            sc2, raw2, edges2 = self._rescore_slow(
+                qs, cs, q_rows[slow_t], c_rows[slow_t])
+            score[slow_t] = sc2
+            raw[slow_t] = raw2
+            edges[slow_t] = edges2
+        return score, raw, edges
 
     def _rescore_slow(self, qs, cs, q_rows, c_rows):
         """Re-score flagged lanes with the EXACT merge automaton, on
@@ -1447,7 +1549,7 @@ class TpuOverlapper:
 
             gf = jax.jit(impl)
             self._gather_score_cache[key] = gf
-        packed = np.asarray(gf(*q_dev, *c_dev, jnp.asarray(qq_p),
+        packed = np.asarray(gf(*q_dev[:4], *c_dev[:4], jnp.asarray(qq_p),
                                jnp.asarray(cc_p)))[:, :T]
         out = {n: packed[i] for i, n in enumerate(names)}
         k2 = self.cfg["ordered_kmer_size"]
@@ -1566,17 +1668,19 @@ class TpuOverlapper:
         if gf is None:
             body = self._build_score_body(size)
             names = self.SCORE_NAMES
+            nq = len(q_dev)
 
-            def impl(qoh, qop, qom, qnk, coh, cop, com, cnk,
-                     q_rows, pql, pc, base):
+            def impl(*args):
+                qd, cd = args[:nq], args[nq:-4]
+                q_rows, pql, pc, base = args[-4:]
                 sub_ql = jax.lax.dynamic_slice(pql, (base,), (size,))
                 sub_c = jax.lax.dynamic_slice(pc, (base,), (size,))
                 realm = sub_ql >= 0
                 Qn = q_rows.shape[0]
                 qg = q_rows[jnp.clip(sub_ql, 0, Qn - 1)]
-                qi = jnp.where(realm, qg, qoh.shape[0] - 1)
-                ci = jnp.where(realm, sub_c, coh.shape[0] - 1)
-                out = body(qoh, qop, qom, qnk, coh, cop, com, cnk, qi, ci)
+                qi = jnp.where(realm, qg, qd[0].shape[0] - 1)
+                ci = jnp.where(realm, sub_c, cd[0].shape[0] - 1)
+                out = body(qd, cd, qi, ci)
                 return jnp.stack(
                     [out[k].astype(jnp.int32) for k in names]
                     + [sub_ql, sub_c])
@@ -1760,7 +1864,7 @@ class TpuOverlapper:
                     ns = out["needs_slow"].astype(bool)
                     if ns.any():
                         slow_t = np.nonzero(ns)[0]
-                        sc2, raw2, edges2 = self._rescore_slow(
+                        sc2, raw2, edges2 = self._rescore_escal(
                             queries, store, qg[slow_t].astype(np.int32),
                             sub_c[slow_t].astype(np.int32))
                         score[slow_t] = sc2
@@ -1776,20 +1880,193 @@ class TpuOverlapper:
         run_range(0, len(q_sel), self._vote_level)
         return lines
 
+    # stores with at least this many rows route through the join-once
+    # wide-store vote (index/joinvote.py); below it the per-chunk fused
+    # path wins (its channel pack needs N < 2^16 anyway)
+    WIDE_STORE_MIN = 0xFFFF
+
     def _find_matches(self, store: SketchStore, index, queries: SketchStore,
                       q_sel: np.ndarray, to_self: bool) -> list[str]:
         """Vote + suppression rules + scoring (MinHashSearch.java:149-251).
 
-        Dispatches to the fused device path when the index is
-        device-resident; the host-postings path below is the exact
-        fallback (CPU backend, ladder exhaustion, sharded subclass)."""
+        Dispatches to the join-once wide-store path at reference scale,
+        the fused device path otherwise; the host-postings path below is
+        the exact fallback (CPU backend, ladder exhaustion, sharded
+        subclass)."""
         if len(q_sel) == 0:
             return []
         store = index[2]  # candidate row ids refer to the index's store
         self.stats["sequences_searched"] += len(q_sel)
         if index[0] == "dev":
+            if (len(store) >= self.WIDE_STORE_MIN
+                    and self._wide_path_ok(store, queries, to_self)):
+                return self._find_matches_wide(index, queries, q_sel,
+                                               to_self)
             return self._find_matches_device(index, queries, q_sel, to_self)
         return self._find_matches_host(index, queries, q_sel, to_self)
+
+    def _wide_path_ok(self, store, queries, to_self) -> bool:
+        """The wide path's row-compare suppression assumes default
+        minStoreLength and header-ordered stores without padding rows
+        (single-chip stores always are)."""
+        return (int(self.cfg["min_store_length"]) == 0
+                and store.n_real == len(store)
+                and len(store) < (1 << 21))
+
+    def _find_matches_wide(self, index, queries: SketchStore,
+                           q_sel: np.ndarray, to_self: bool) -> list[str]:
+        """Join-once wide-store vote + single-sync scoring
+        (index/joinvote.py).  Per run: stage A/B build the exact
+        candidate buffer (no ladder, no speculative work), stage C
+        chunks vote+suppress+compact into a device pair buffer, ONE
+        stats sync sizes the fixed-shape score dispatches, and score
+        readbacks stream back asynchronously while the device works."""
+        from ..index import joinvote as JV
+
+        kind, handle, store = index
+        cfg = self.cfg
+        mm = cfg["num_min_matches"]
+        t0 = time.perf_counter()
+        ji = JV.JoinedIndex(handle[0], handle[1], queries.dev("minhash"),
+                            q_sel.astype(np.int32))
+        span, fb_idx = ji.plan_span()
+        cand = ji.build_candidates(span)
+        cand, over_rows = ji.apply_residuals(cand, span)
+        fallback = set(int(i) for i in fb_idx)
+        fallback.update(int(i) for i in over_rows)
+
+        Q = len(q_sel)
+        Qc = JV.QC
+        n_chunks = -(-Q // Qc)
+        Q_pad = n_chunks * Qc
+        if Q_pad > Q:
+            cand = jnp.pad(cand, ((0, Q_pad - Q), (0, 0)),
+                           constant_values=np.uint32(0xFFFFFFFF))
+        p_cap = 32 * Qc
+        rows_pad = np.full(Q_pad, -1, np.int32)
+        rows_pad[:Q] = q_sel
+        pairs_q, pairs_c, stats_parts = [], [], []
+        for ci in range(n_chunks):
+            sl = jax.lax.dynamic_slice_in_dim(cand, ci * Qc, Qc, axis=0)
+            rows_dev = jnp.asarray(rows_pad[ci * Qc:(ci + 1) * Qc])
+            valid = jnp.asarray(rows_pad[ci * Qc:(ci + 1) * Qc] >= 0)
+            pq, pc, st = JV.vote_chunk(sl, rows_dev, valid, mm=mm,
+                                       to_self=bool(to_self), p_cap=p_cap)
+            pairs_q.append(pq)
+            pairs_c.append(pc)
+            stats_parts.append(st)
+        buf_q, buf_c, total = JV.compact_pairs(
+            jnp.stack(pairs_q), jnp.stack(pairs_c),
+            total_cap=n_chunks * p_cap)
+        st_all = jnp.concatenate(stats_parts, axis=1)  # [4, Q_pad]
+        st_np, pulled = self._pull_combined(st_all, [total.reshape(1)])
+        total = int(pulled[0][0])
+        self.stats["minhash_search_time"] += time.perf_counter() - t0
+
+        # stats + escalation sets
+        self.stats["elements_processed"] += int(ji.hits_q.sum())
+        self.stats["sequences_hit"] += int(st_np[0, :Q].sum())
+        sat = np.nonzero(st_np[1, :Q])[0]
+        fallback.update(int(i) for i in sat)
+        # chunk pair-buffer overflow: all queries of that chunk re-run
+        for ci in range(n_chunks):
+            if int(st_np[3, ci * Qc]) > p_cap:
+                fallback.update(range(ci * Qc, min((ci + 1) * Qc, Q)))
+
+        t0 = time.perf_counter()
+        lines = self._score_wide(queries, store, buf_q, buf_c, total,
+                                 q_sel, fallback)
+        self.stats["sort_merge_time"] += time.perf_counter() - t0
+
+        if fallback:
+            fb = np.asarray(sorted(fallback), np.int64)
+            lines += self._find_matches_host(
+                ("host", getattr(store, "_host_postings", None)
+                 or self.build_postings(store), store),
+                queries, q_sel[fb], to_self)
+        return lines
+
+    WIDE_SCORE_T = 16384  # fixed score-slice lane count (one compile)
+
+    def _score_wide(self, queries, store, buf_q, buf_c, total: int,
+                    q_sel, fallback: set) -> list[str]:
+        """Score the device pair buffer in fixed-shape slices; async
+        readbacks overlap the remaining dispatches."""
+        if total == 0:
+            return []
+        q_dev = self._dev_store(queries)
+        c_dev = self._dev_store(store) if store is not queries else q_dev
+        T = self.WIDE_SCORE_T
+        names = self.SCORE_NAMES
+        key = ("wide", q_dev[0].shape[0], c_dev[0].shape[0], T)
+        gf = self._gather_score_cache.get(key)
+        if gf is None:
+            body = self._build_score_body(T)
+            nq = len(q_dev)
+
+            def impl(*args):
+                qd, cd = args[:nq], args[nq:-3]
+                pq, pc, base = args[-3:]
+                sub_q = jax.lax.dynamic_slice(pq, (base,), (T,))
+                sub_c = jax.lax.dynamic_slice(pc, (base,), (T,))
+                realm = sub_q >= 0
+                qi = jnp.where(realm, sub_q, qd[0].shape[0] - 1)
+                ci = jnp.where(realm, sub_c, cd[0].shape[0] - 1)
+                out = body(qd, cd, qi, ci)
+                return jnp.stack(
+                    [out[k].astype(jnp.int32) for k in names]
+                    + [sub_q, sub_c])
+
+            gf = jax.jit(impl)
+            self._gather_score_cache[key] = gf
+        # pad the buffer so every slice is in range
+        n_slices = -(-total // T)
+        need = n_slices * T
+        if need > buf_q.shape[0]:
+            pad = need - buf_q.shape[0]
+            buf_q = jnp.pad(buf_q, ((0, pad),), constant_values=-1)
+            buf_c = jnp.pad(buf_c, ((0, pad),), constant_values=-1)
+        packs = []
+        for si in range(n_slices):
+            p = gf(*q_dev, *c_dev, buf_q, buf_c, self._dev_i32(si * T))
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                pass
+            packs.append(p)
+
+        cfg = self.cfg
+        lines: list[str] = []
+        got = 0
+        fb_rows = (np.asarray([int(q_sel[i]) for i in fallback], np.int64)
+                   if fallback else None)
+        self.stats["sequences_fully_compared"] += total
+        for si, p in enumerate(packs):
+            packed = np.asarray(p)
+            take = min(T, total - got)
+            got += take
+            out = {n: packed[i, :take] for i, n in enumerate(names)}
+            sub_q = packed[len(names), :take]
+            sub_c = packed[len(names) + 1, :take]
+            score, raw, edges = self._identity_scores(out)
+            self.slow_pair_count += int(out["slow_flag"].sum())
+            ns = out["needs_slow"].astype(bool)
+            if ns.any():
+                slow_t = np.nonzero(ns)[0]
+                sc2, raw2, edges2 = self._rescore_escal(
+                    queries, store, sub_q[slow_t].astype(np.int32),
+                    sub_c[slow_t].astype(np.int32))
+                score[slow_t] = sc2
+                raw[slow_t] = raw2
+                edges[slow_t] = edges2
+            acc = score >= cfg["threshold"]
+            if fb_rows is not None:
+                acc &= ~np.isin(sub_q, fb_rows)
+            self.stats["matches_processed"] += int(acc.sum())
+            lines.extend(self._format(
+                queries, store, sub_q[acc], sub_c[acc],
+                score[acc], raw[acc], edges[acc]))
+        return lines
 
     def _find_matches_host(self, index, queries: SketchStore,
                            q_sel: np.ndarray, to_self: bool) -> list[str]:
@@ -1901,6 +2178,16 @@ import os
 # TPU: VMEM-resident kernel, compiles ~50x faster than the XLA scan at the
 # same runtime) or "scan" (XLA; the only option on CPU).
 _MINHASH_IMPL = os.environ.get("MHAP_TPU_MINHASH", "pallas")
+
+# MHAP_TPU_SCORER selects the stage-2 scorer primary body: "pallas"
+# (default on TPU: the fused VMEM kernel, ops/scorer_pallas.py) or
+# "xla" (the fast-pass, the only option on CPU).
+_SCORER_IMPL = os.environ.get("MHAP_TPU_SCORER", "pallas")
+
+
+@jax.jit
+def _reverse_cols_jit(oh, op):
+    return oh[:, ::-1], op[:, ::-1]
 
 
 def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
