@@ -154,7 +154,16 @@ def write_truth_m4(placements, reads, path, genome_len):
                     f"0 {s} {e} {genome_len}\n")
 
 
-def bench_config_lognormal(n_reads=10_000):
+# pinned expected overlap counts (silent-drift guards, VERDICT r3 item 5)
+# lognormal10k: the native C++ reference port on the same reads
+#   (native/build/mhap_cpu, re-derivable with --verify-native)
+# filtered2k: the CPU-backend run of the same pipeline (independent
+#   backend; the filter path is oracle-parity-tested at small sizes)
+EXPECTED_LOGNORMAL10K = 158246
+EXPECTED_FILTERED2K = 10019
+
+
+def bench_config_lognormal(n_reads=10_000, verify_native=False):
     """10k-read lognormal config + EstimateROC vs synthetic truth."""
     import tempfile
 
@@ -191,12 +200,44 @@ def bench_config_lognormal(n_reads=10_000):
         roc.estimate_sensitivity()
         roc.estimate_specificity()
         roc.estimate_ppv(batch_dp=True)
-    return {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
-            "warm_s": round(warm, 1), "steady_s": round(steady, 2),
-            "overlaps": len(lines),
-            "sensitivity": round(roc.sensitivity(), 4),
-            "specificity": round(roc.specificity(), 4),
-            "ppv": round(roc.ppv, 4), "ppv_dp": "device_sw_batched"}
+        out = {"n_reads": n_reads,
+               "reads_per_s": round(n_reads / steady, 1),
+               "warm_s": round(warm, 1), "steady_s": round(steady, 2),
+               "overlaps": len(lines),
+               "overlaps_expected": EXPECTED_LOGNORMAL10K,
+               "overlaps_match": len(lines) == EXPECTED_LOGNORMAL10K,
+               "sensitivity": round(roc.sensitivity(), 4),
+               "specificity": round(roc.specificity(), 4),
+               "ppv": round(roc.ppv, 4), "ppv_dp": "device_sw_batched"}
+        if verify_native:
+            t0 = time.perf_counter()
+            _, n_native, threads = bench_native(reads)
+            out["native_s"] = round(time.perf_counter() - t0, 1)
+            out["native_overlaps"] = n_native
+            # native line set through the SAME EstimateROC = the anchor
+            # for the README ROC columns (VERDICT r3 item 5)
+            nroc = EstimateROC(min_ovl_len=500, num_trials=2000,
+                               do_dp=True)
+            nroc.process_reference(truth)
+            nroc.load_fasta(fa)
+            import subprocess
+            binary = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "native", "build", "mhap_cpu")
+            nat = subprocess.run(
+                [binary, "-s", fa, "--num-threads", str(threads)],
+                capture_output=True, text=True, check=True)
+            novl = os.path.join(td, "native.mhap")
+            with open(novl, "w") as f:
+                f.write(nat.stdout)
+            nroc.process_overlaps(novl)
+            nroc.estimate_sensitivity()
+            nroc.estimate_specificity()
+            nroc.estimate_ppv(batch_dp=True)
+            out["native_roc"] = {
+                "sensitivity": round(nroc.sensitivity(), 4),
+                "specificity": round(nroc.specificity(), 4),
+                "ppv": round(nroc.ppv, 4)}
+    return out
 
 
 def bench_config_filtered(n_reads=2048):
@@ -229,7 +270,10 @@ def bench_config_filtered(n_reads=2048):
     steady = time.perf_counter() - t0
     return {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
             "warm_s": round(warm, 1), "steady_s": round(steady, 2),
-            "overlaps": len(lines), "filter_kmers": n_rows}
+            "overlaps": len(lines),
+            "overlaps_expected": EXPECTED_FILTERED2K,
+            "overlaps_match": len(lines) == EXPECTED_FILTERED2K,
+            "filter_kmers": n_rows}
 
 
 def _peak_rss_mb():
@@ -250,21 +294,59 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
-    # two settling runs: the vote-ladder level and score-size variants
-    # stabilize across the first runs, each new size paying a multi-
-    # second compile that must not pollute the steady number
+    # two settling runs (compile stragglers), then steady = MEDIAN of 3
+    # timed runs with the full spread recorded (VERDICT r3 item 2:
+    # steady must be an honest central estimate, not a best case)
     settle = []
     for _ in range(2):
         t0 = time.perf_counter()
         ov.overlap_self(reads)
         settle.append(round(time.perf_counter() - t0, 1))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lines = ov.overlap_self(reads)
+        times.append(time.perf_counter() - t0)
+    steady = sorted(times)[1]
+    out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
+           "warm_s": round(warm, 1), "settle_s": settle,
+           "steady_s": round(steady, 2),
+           "steady_runs_s": [round(t, 2) for t in times],
+           "overlaps": len(lines), "peak_rss_mb": round(_peak_rss_mb(), 1)}
+    if verify_native:
+        t0 = time.perf_counter()
+        _, n_native, threads = bench_native(reads)
+        out["native_s"] = round(time.perf_counter() - t0, 1)
+        out["native_overlaps"] = n_native
+        out["native_threads"] = threads
+        out["overlaps_match"] = n_native == len(lines)
+    return out
+
+
+def bench_config_scale100k(n_reads=100_000, verify_native=False):
+    """Capacity headline: 2.5x the reference's published 32GB/40k
+    guidance on ONE chip (quickstart.rst:23).  Single warm + steady run
+    (compile amortizes as in scale40k); reports peak host RSS vs the
+    reference's 32GB and exact native parity when asked."""
+    from mhap_tpu.pipeline.overlapper import TpuOverlapper
+
+    reads, _, _ = make_reads_placed(n_reads, seed=SEED + 4)
+    ov = TpuOverlapper()
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lines = ov.overlap_self(reads)
+    settle = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     steady = time.perf_counter() - t0
     out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
-           "warm_s": round(warm, 1), "settle_s": settle,
-           "steady_s": round(steady, 2),
-           "overlaps": len(lines), "peak_rss_mb": round(_peak_rss_mb(), 1)}
+           "warm_s": round(warm, 1), "settle_s": [settle],
+           "steady_s": round(steady, 2), "overlaps": len(lines),
+           "peak_rss_mb": round(_peak_rss_mb(), 1),
+           "reference_guidance": "32GB JVM RAM ~ 40K sequences "
+                                 "(quickstart.rst:23)"}
     if verify_native:
         t0 = time.perf_counter()
         _, n_native, threads = bench_native(reads)
@@ -357,10 +439,11 @@ def main():
         name = sys.argv[sys.argv.index("--config") + 1]
         fn = {"lognormal10k": bench_config_lognormal,
               "filtered2k": bench_config_filtered,
-              "scale40k": bench_config_scale40k}[name]
+              "scale40k": bench_config_scale40k,
+              "scale100k": bench_config_scale100k}[name]
         kw = ({"verify_native": True}
-              if name == "scale40k" and "--verify-native" in sys.argv
-              else {})
+              if name in ("scale40k", "lognormal10k", "scale100k")
+              and "--verify-native" in sys.argv else {})
         print(json.dumps({name: fn(**kw)}))
         return
 

@@ -156,10 +156,14 @@ def _assemble_qmajor(chans_q, lr_q, *, span: int, Hg: int):
     return st.transpose(2, 1, 0).reshape(st.shape[2], Hg * span)
 
 
+R_DESC_CAP = 1 << 17  # residual descriptor pull size (one transfer)
+
+
 @partial(jax.jit, static_argnames=("span",))
 def _resid_descriptors(cnt_hq, lr_hq, *, span: int):
     """Compact (band, q, left, cnt) descriptors of cells with
-    cnt > span: flat 2-op sort over [H*Q]."""
+    cnt > span: flat 2-op sort over [H*Q], ONE fixed-size stacked pull
+    [2, R_DESC_CAP] + count."""
     H, Q = cnt_hq.shape
     flat_cnt = cnt_hq.reshape(-1)
     flat_lr = lr_hq.reshape(-1)
@@ -168,7 +172,9 @@ def _resid_descriptors(cnt_hq, lr_hq, *, span: int):
     key = jnp.where(over, idx, jnp.iinfo(jnp.int32).max)
     s_key, s_lr = jax.lax.sort((key, flat_lr), num_keys=1)
     n_over = jnp.sum(over.astype(I32))
-    return s_key, s_lr, n_over
+    cap = min(R_DESC_CAP, H * Q)
+    packed = jnp.stack([s_key[:cap], s_lr[:cap].astype(I32)])
+    return packed, n_over
 
 
 @jax.jit
@@ -271,11 +277,21 @@ class JoinedIndex:
         total = int(self.resid_q[span].sum())
         if total == 0:
             return cand, np.zeros(0, np.int64)
-        s_key, s_lr, n_over = _resid_descriptors(self.cnt_hq, self.lr_hq,
-                                                 span=span)
+        packed, n_over = _resid_descriptors(self.cnt_hq, self.lr_hq,
+                                            span=span)
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
         n_over = int(n_over)
-        desc_key = np.asarray(s_key[:n_over])
-        desc_lr = np.asarray(s_lr[:n_over])
+        if n_over > packed.shape[1]:
+            # more overflowing cells than the descriptor cap: treat every
+            # affected query as a host-fallback row (pathological data)
+            rq = np.nonzero(self.resid_q[span] > 0)[0]
+            return cand, rq
+        desc = np.asarray(packed)
+        desc_key = desc[0, :n_over]
+        desc_lr = desc[1, :n_over].view(np.uint32)
         bands = desc_key // self.Q
         qs = desc_key % self.Q
         left = (desc_lr >> 8).astype(np.int64)
@@ -348,18 +364,18 @@ def vote_chunk(cand_slice, q_store_rows, q_valid, *, mm: int,
     # and sid gets 21 (stores up to 2M rows)
     packed = (jnp.minimum(votes, 1023) << 21) | jnp.where(
         votes > 0, sid, 0)
-    topp, _ = jax.lax.top_k(packed, K_TOP)
+    topp, _ = jax.lax.top_k(packed, min(K_TOP, W0))
     top_votes = topp >> 21
     top_cand = jnp.where(top_votes > 0, topp & ((1 << 21) - 1), -1)
     saturated = top_votes[:, -1] > 0
     pair_cnt_q = jnp.sum((top_votes > 0).astype(I32), axis=1)
 
     # compact pairs to [p_cap] by flat sort (q-major order)
-    QK = Qc * K_TOP
+    QK = Qc * min(K_TOP, W0)
     keep = (top_cand >= 0).reshape(QK)
     order = jnp.arange(QK, dtype=I32)
     key = jnp.where(keep, order, QK)
-    ql = order // K_TOP
+    ql = order // min(K_TOP, W0)
     qrow = q_store_rows[jnp.clip(ql, 0, Qc - 1)]
     _, s_q, s_c = jax.lax.sort(
         (key, qrow, top_cand.reshape(QK)), num_keys=1)

@@ -1386,9 +1386,12 @@ class TpuOverlapper:
 
         parts = []
         B = self.SCORE_DISPATCH_MAX
+        if self._use_pallas_scorer():
+            B = max(P, 2048)
         for s in range(0, T, B):
             e = min(s + B, T)
-            T_pad = max(P, ((e - s + P - 1) // P) * P)
+            T_pad = (B if self._use_pallas_scorer()
+                     else max(P, ((e - s + P - 1) // P) * P))
             # padded lanes point at the guaranteed pad row (m = 0)
             qq_p = np.full(T_pad, q_dev[0].shape[0] - 1, np.int32)
             cc_p = np.full(T_pad, c_dev[0].shape[0] - 1, np.int32)
@@ -1771,6 +1774,14 @@ class TpuOverlapper:
             on every cold process."""
             plan = []
             b = 0
+            if self._use_pallas_scorer():
+                # fixed-size slices: the fused kernel compiles ONCE per
+                # process; padding waste is ~5us/lane * (SQ-1) worst case
+                step = max(SQ, 2048)
+                while b < upto:
+                    plan.append((b, step))
+                    b += step
+                return plan
             while b < upto:
                 size = min(self.SCORE_DISPATCH_MAX,
                            ((upto - b + SQ - 1) // SQ) * SQ)
@@ -1998,7 +2009,12 @@ class TpuOverlapper:
         c_dev = self._dev_store(store) if store is not queries else q_dev
         T = self.WIDE_SCORE_T
         names = self.SCORE_NAMES
-        key = ("wide", q_dev[0].shape[0], c_dev[0].shape[0], T)
+        # 6-word packed readback when every edge fits 16 bits (reads
+        # shorter than 65536 bases); the link is the wall here: 24 bytes
+        # per lane instead of 56
+        can_pack = (int(queries.length.max(initial=0)) < 0xFFFF
+                    and int(store.length.max(initial=0)) < 0xFFFF)
+        key = ("wide", can_pack, q_dev[0].shape[0], c_dev[0].shape[0], T)
         gf = self._gather_score_cache.get(key)
         if gf is None:
             body = self._build_score_body(T)
@@ -2013,9 +2029,17 @@ class TpuOverlapper:
                 qi = jnp.where(realm, sub_q, qd[0].shape[0] - 1)
                 ci = jnp.where(realm, sub_c, cd[0].shape[0] - 1)
                 out = body(qd, cd, qi, ci)
-                return jnp.stack(
-                    [out[k].astype(jnp.int32) for k in names]
-                    + [sub_q, sub_c])
+                if not can_pack:
+                    return jnp.stack(
+                        [out[k].astype(jnp.int32) for k in names]
+                        + [sub_q, sub_c])
+                i32 = lambda k: out[k].astype(jnp.int32)
+                w2 = (i32("inter") << 16) | i32("k")
+                w3 = (i32("a1") << 16) | i32("a2")
+                w4 = (i32("b1") << 16) | i32("b2")
+                w5 = ((i32("valid_cnt") << 3) | (i32("ok") << 2)
+                      | (i32("needs_slow") << 1) | i32("slow_flag"))
+                return jnp.stack([sub_q, sub_c, w2, w3, w4, w5])
 
             gf = jax.jit(impl)
             self._gather_score_cache[key] = gf
@@ -2026,28 +2050,30 @@ class TpuOverlapper:
             pad = need - buf_q.shape[0]
             buf_q = jnp.pad(buf_q, ((0, pad),), constant_values=-1)
             buf_c = jnp.pad(buf_c, ((0, pad),), constant_values=-1)
-        packs = []
-        for si in range(n_slices):
-            p = gf(*q_dev, *c_dev, buf_q, buf_c, self._dev_i32(si * T))
-            try:
-                p.copy_to_host_async()
-            except AttributeError:
-                pass
-            packs.append(p)
 
         cfg = self.cfg
         lines: list[str] = []
-        got = 0
         fb_rows = (np.asarray([int(q_sel[i]) for i in fallback], np.int64)
                    if fallback else None)
         self.stats["sequences_fully_compared"] += total
-        for si, p in enumerate(packs):
+        state = dict(got=0)
+
+        def consume(p, take):
             packed = np.asarray(p)
-            take = min(T, total - got)
-            got += take
-            out = {n: packed[i, :take] for i, n in enumerate(names)}
-            sub_q = packed[len(names), :take]
-            sub_c = packed[len(names) + 1, :take]
+            if can_pack:
+                sub_q, sub_c = packed[0, :take], packed[1, :take]
+                w2, w3, w4, w5 = (packed[i, :take] for i in range(2, 6))
+                out = {
+                    "inter": w2 >> 16, "k": w2 & 0xFFFF,
+                    "a1": w3 >> 16, "a2": w3 & 0xFFFF,
+                    "b1": w4 >> 16, "b2": w4 & 0xFFFF,
+                    "valid_cnt": w5 >> 3, "ok": (w5 >> 2) & 1,
+                    "needs_slow": (w5 >> 1) & 1, "slow_flag": w5 & 1,
+                }
+            else:
+                out = {n: packed[i, :take] for i, n in enumerate(names)}
+                sub_q = packed[len(names), :take]
+                sub_c = packed[len(names) + 1, :take]
             score, raw, edges = self._identity_scores(out)
             self.slow_pair_count += int(out["slow_flag"].sum())
             ns = out["needs_slow"].astype(bool)
@@ -2066,6 +2092,24 @@ class TpuOverlapper:
             lines.extend(self._format(
                 queries, store, sub_q[acc], sub_c[acc],
                 score[acc], raw[acc], edges[acc]))
+
+        # pipelined dispatch/pull/format: while the device scores slice
+        # i, the host converts + formats slice i-1 (the link transfer of
+        # i-1 started right after its dispatch)
+        pending = None
+        for si in range(n_slices):
+            p = gf(*q_dev, *c_dev, buf_q, buf_c, self._dev_i32(si * T))
+            try:
+                p.copy_to_host_async()
+            except AttributeError:
+                pass
+            if pending is not None:
+                take = min(T, total - state["got"])
+                consume(pending, take)
+                state["got"] += take
+            pending = p
+        if pending is not None:
+            consume(pending, min(T, total - state["got"]))
         return lines
 
     def _find_matches_host(self, index, queries: SketchStore,
