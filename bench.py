@@ -160,7 +160,7 @@ def write_truth_m4(placements, reads, path, genome_len):
 # filtered2k: the CPU-backend run of the same pipeline (independent
 #   backend; the filter path is oracle-parity-tested at small sizes)
 EXPECTED_LOGNORMAL10K = 158246
-EXPECTED_FILTERED2K = 10019
+EXPECTED_FILTERED2K = 286410
 
 
 def bench_config_lognormal(n_reads=10_000, verify_native=False):

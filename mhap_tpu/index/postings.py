@@ -85,12 +85,21 @@ def _expand_spans_sortjoin(post_sids, left, cnt, span_cap: int, N: int,
     return jnp.where(hit_ok, cand, N)  # N = sentinel (sorts last)
 
 
-def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
-               top_k: int, min_matches: int):
-    """Shared vote kernel body; see vote_device_packed for semantics.
+def expand_hits(post_vals, post_sids, query_mh, *, span_cap: int):
+    """Span expansion half of the vote kernel: candidate ids for every
+    (query, band) value run, plus overflow/hit statistics.
 
-    Returns (cand [Q, top_k], votes [Q, top_k], overflow [Q],
-    hits_total [Q], distinct [Q], saturated [Q] bool)."""
+    Returns (cand [Q, H, span_cap] i32 with N as the empty sentinel,
+    overflow [Q], hits_total [Q]).  Factored out so the sharded SPMD
+    path (parallel/sharded.py) can run the same sort-join/channel
+    expansion per band shard instead of vmapped binary searches +
+    computed gathers (which measure ~an order of magnitude slower on
+    TPU) and route the expanded hits with one all_to_all."""
+    return _expand_core(post_vals, post_sids, query_mh,
+                        span_cap=span_cap)
+
+
+def _expand_core(post_vals, post_sids, query_mh, *, span_cap: int):
     H, N = post_vals.shape
     Q = query_mh.shape[0]
 
@@ -192,11 +201,18 @@ def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
         # large spans / wide stores: the request sort-join expansion
         cand = _expand_spans_sortjoin(post_sids, left, cnt, span_cap,
                                       N, Q, H)
+    return cand, overflow, hits_total
 
-    # vote counting: sort hits per query, run-length the candidate ids
-    flat = cand.reshape(Q, H * span_cap)
-    s = jnp.sort(flat, axis=1)
-    M = H * span_cap
+
+def count_votes(cand_flat, N: int, *, top_k: int, min_matches: int):
+    """Vote-count half: sorted run-length counting over a [Q, W] flat
+    candidate matrix (sentinel >= N), then min-matches + top-k.
+
+    Returns (top_cand [Q, top_k], top_votes, distinct [Q],
+    saturated [Q] bool)."""
+    Q = cand_flat.shape[0]
+    s = jnp.sort(cand_flat, axis=1)
+    M = cand_flat.shape[1]
     new_run = jnp.concatenate(
         [jnp.ones((Q, 1), bool), s[:, 1:] != s[:, :-1]], axis=1) & (s < N)
     # votes per run via position-difference of run starts
@@ -221,8 +237,25 @@ def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
     top_cand = jnp.where(top_votes > 0, top_cand, -1)
     distinct = jnp.sum(new_run, axis=1).astype(I32)
     saturated = (top_votes[:, -1] > 0) if top_k < N else jnp.zeros((Q,), bool)
-    return (top_cand.astype(I32), top_votes.astype(I32), overflow,
-            hits_total, distinct, saturated)
+    return (top_cand.astype(I32), top_votes.astype(I32), distinct,
+            saturated)
+
+
+def _vote_core(post_vals, post_sids, query_mh, *, span_cap: int,
+               top_k: int, min_matches: int):
+    """Shared vote kernel body; see vote_device_packed for semantics.
+
+    Returns (cand [Q, top_k], votes [Q, top_k], overflow [Q],
+    hits_total [Q], distinct [Q], saturated [Q] bool)."""
+    H, N = post_vals.shape
+    Q = query_mh.shape[0]
+    cand, overflow, hits_total = _expand_core(post_vals, post_sids,
+                                              query_mh, span_cap=span_cap)
+    top_cand, top_votes, distinct, saturated = count_votes(
+        cand.reshape(Q, H * span_cap), N, top_k=top_k,
+        min_matches=min_matches)
+    return (top_cand, top_votes, overflow, hits_total, distinct,
+            saturated)
 
 
 @partial(jax.jit, static_argnames=("span_cap", "top_k", "min_matches"))

@@ -411,23 +411,15 @@ class ShardedOverlapper(TpuOverlapper):
                     q_l = jax.lax.dynamic_slice(
                         q_in, (0, d * Hl), (QC, Hl))
 
-                def row_lookup(vrow, qv):
-                    return (jnp.searchsorted(vrow, qv, side="left"),
-                            jnp.searchsorted(vrow, qv, side="right"))
+                # same sort-join/channel expansion as the single-chip
+                # kernel (index/postings.expand_hits): vmapped binary
+                # searches + computed gathers measured ~an order of
+                # magnitude slower on this hardware
+                from ..index.postings import expand_hits
 
-                left, right = jax.vmap(row_lookup, in_axes=(0, 1),
-                                       out_axes=1)(vals, q_l)   # [QC, Hl]
-                cnt = right - left
-                over_part = jnp.sum(jnp.maximum(cnt - span_cap, 0),
-                                    axis=1).astype(I32)
-                hits_part = jnp.sum(cnt, axis=1).astype(I32)
-                offs = jnp.arange(span_cap, dtype=I32)
-                idx = left[:, :, None] + offs[None, None, :]
-                ok = offs[None, None, :] < jnp.minimum(cnt, span_cap)[:, :, None]
-                idx = jnp.clip(idx, 0, vals.shape[1] - 1)
-                cand = jax.vmap(lambda srow, irow: srow[irow],
-                                in_axes=(0, 1), out_axes=1)(sids, idx)
-                cand = jnp.where(ok, cand, N)     # [QC, Hl, cap]
+                cand, over_part, hits_part = expand_hits(
+                    vals, sids, q_l, span_cap=span_cap)
+                cand = jnp.where(cand >= vals.shape[1], N, cand)
 
                 # route hits to the query owner
                 hits2 = cand.reshape(QC, Hl * span_cap)

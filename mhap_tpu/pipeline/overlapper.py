@@ -2078,14 +2078,12 @@ class TpuOverlapper:
             self.slow_pair_count += int(out["slow_flag"].sum())
             ns = out["needs_slow"].astype(bool)
             if ns.any():
-                slow_t = np.nonzero(ns)[0]
-                sc2, raw2, edges2 = self._rescore_escal(
-                    queries, store, sub_q[slow_t].astype(np.int32),
-                    sub_c[slow_t].astype(np.int32))
-                score[slow_t] = sc2
-                raw[slow_t] = raw2
-                edges[slow_t] = edges2
-            acc = score >= cfg["threshold"]
+                # DEFER: escalated lanes batch into ONE end-of-run
+                # rescore (a per-slice dispatch would stall the
+                # dispatch/pull pipeline on a link round trip each time)
+                deferred.append((sub_q[ns].astype(np.int32),
+                                 sub_c[ns].astype(np.int32)))
+            acc = (score >= cfg["threshold"]) & ~ns
             if fb_rows is not None:
                 acc &= ~np.isin(sub_q, fb_rows)
             self.stats["matches_processed"] += int(acc.sum())
@@ -2096,6 +2094,7 @@ class TpuOverlapper:
         # pipelined dispatch/pull/format: while the device scores slice
         # i, the host converts + formats slice i-1 (the link transfer of
         # i-1 started right after its dispatch)
+        deferred: list = []
         pending = None
         for si in range(n_slices):
             p = gf(*q_dev, *c_dev, buf_q, buf_c, self._dev_i32(si * T))
@@ -2110,6 +2109,16 @@ class TpuOverlapper:
             pending = p
         if pending is not None:
             consume(pending, min(T, total - state["got"]))
+        if deferred:
+            dq = np.concatenate([d[0] for d in deferred])
+            dc = np.concatenate([d[1] for d in deferred])
+            sc2, raw2, edges2 = self._rescore_escal(queries, store, dq, dc)
+            acc = sc2 >= cfg["threshold"]
+            if fb_rows is not None:
+                acc &= ~np.isin(dq, fb_rows)
+            self.stats["matches_processed"] += int(acc.sum())
+            lines.extend(self._format(queries, store, dq[acc], dc[acc],
+                                      sc2[acc], raw2[acc], edges2[acc]))
         return lines
 
     def _find_matches_host(self, index, queries: SketchStore,

@@ -39,14 +39,18 @@ for trial in range(2):
     cand.block_until_ready()
     t_resid = time.perf_counter() - t0
     # stage C + score via the driver (reuse internals)
-    ov.stats["minhash_search_time"] = 0.0
-    ov.stats["sort_merge_time"] = 0.0
+    for k in ov.stats:
+        ov.stats[k] = 0.0 if k.endswith("time") else 0
+    ov.slow_pair_count = 0
     t0 = time.perf_counter()
     lines = ov._find_matches_wide(index, store, np.nonzero(store.is_fwd)[0], True)
     t_find = time.perf_counter() - t0
     t0 = time.perf_counter()
     lines = sorted(lines)
     t_sort = time.perf_counter() - t0
+    print(f"trial{trial}: pairs={ov.stats['sequences_fully_compared']} "
+          f"slow={ov.slow_pair_count} "
+          f"matches={ov.stats['matches_processed']}")
     print(f"trial{trial}: sketch {t_sketch:.2f} index {t_index:.2f} "
           f"A {t_stageA:.2f} B({span}) {t_stageB:.2f} resid {t_resid:.2f} "
           f"find(C+D) {t_find:.2f} (vote {ov.stats['minhash_search_time']:.2f} "
