@@ -57,7 +57,7 @@ SPANS = (8, 16, 32)       # compiled stage-B span variants (at most one
 E_RESID = 64              # extra candidate columns for residual hits
 CNT_CAP = 255             # run counts clip here; bigger cells -> host
 K_TOP = 384               # per-query survivor buffer
-QC = 4096                 # stage-C query chunk
+QC = 8192                 # stage-C query chunk
 CHANS_PER_UNSORT = 4      # payload channels per unsort dispatch
 
 

@@ -1997,7 +1997,9 @@ class TpuOverlapper:
                 queries, q_sel[fb], to_self)
         return lines
 
-    WIDE_SCORE_T = 16384  # fixed score-slice lane count (one compile)
+    WIDE_SCORE_T = 32768  # fixed score-slice lane count (one compile;
+    #                   bigger slices halve the per-slice link
+    #                   round trips, the steady-state tax here)
 
     def _score_wide(self, queries, store, buf_q, buf_c, total: int,
                     q_sel, fallback: set) -> list[str]:
