@@ -206,7 +206,7 @@ class JoinedIndex:
         self.b_half = 32 - bits_rs
         if 2 * self.b_half < max(N.bit_length(), 1):
             raise ValueError("store too large for split-sid channels")
-        G = band_groups or max(1, (self.M * H) // (64 << 20))
+        G = band_groups or max(1, (self.M * H) // (32 << 20))
         while H % G:
             G += 1
         self.G = G
@@ -216,16 +216,21 @@ class JoinedIndex:
         self.q_rows = np.asarray(q_rows, np.int32)
         q_rows_dev = jnp.asarray(self.q_rows)
         self.q_t_full = query_mh[q_rows_dev].T  # [H, Q] device
-        # stage A per group
-        self.joined = []   # (s_tp, rs1, rel) per group
+        # stage A per group.  With more than one band group the joined
+        # arrays are NOT retained (holding G groups' [Hg, M] triples is
+        # what blows HBM at 100k reads); stage B recomputes the join per
+        # group instead -- one extra 2-operand sort per group.
+        self.joined = []   # (s_tp, rs1, rel) per group (G == 1 only)
         lr_groups = []
         for g in range(self.G):
             sl = slice(g * self.Hg, (g + 1) * self.Hg)
             s_tp, rs1, rel, lrpack = _stage_a_join(
                 post_vals[sl], post_sids[sl], self.q_t_full[sl],
                 Hg=self.Hg)
-            self.joined.append((s_tp, rs1, rel))
+            if self.G == 1:
+                self.joined.append((s_tp, rs1, rel))
             lr_groups.append(_stage_a_unsort(s_tp, lrpack)[:, N:])
+            del s_tp, rs1, rel, lrpack
         self.lr_hq = jnp.concatenate(lr_groups, axis=0)  # [H, Q] u32
         self.cnt_hq = (self.lr_hq & U32(0xFF)).astype(I32)
         st = _stats_from_cnt(self.cnt_hq)
@@ -255,7 +260,13 @@ class JoinedIndex:
         """Stage B: the [Q, H*span + E_RESID] u32 candidate buffer."""
         parts = []
         for g in range(self.G):
-            s_tp, rs1, rel = self.joined[g]
+            if self.G == 1:
+                s_tp, rs1, rel = self.joined[0]
+            else:
+                sl_g = slice(g * self.Hg, (g + 1) * self.Hg)
+                s_tp, rs1, rel, _ = _stage_a_join(
+                    self.post_vals[sl_g], self.post_sids[sl_g],
+                    self.q_t_full[sl_g], Hg=self.Hg)
             chans_q = []
             for fc in range(0, span, CHANS_PER_UNSORT):
                 ch = _stage_b_channels(s_tp, rs1, rel, span=span,

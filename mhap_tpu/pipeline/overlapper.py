@@ -2085,7 +2085,7 @@ class TpuOverlapper:
                 # dispatch/pull pipeline on a link round trip each time)
                 deferred.append((sub_q[ns].astype(np.int32),
                                  sub_c[ns].astype(np.int32)))
-            acc = (score >= cfg["threshold"]) & ~ns
+            acc = (score >= cfg["threshold"]) & ~ns & (sub_q >= 0)
             if fb_rows is not None:
                 acc &= ~np.isin(sub_q, fb_rows)
             self.stats["matches_processed"] += int(acc.sum())

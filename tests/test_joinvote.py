@@ -87,3 +87,26 @@ def test_wide_path_taken_at_scale_threshold():
     ov._find_matches_wide = spy
     ov.overlap_self(reads)
     assert called.get("yes")
+
+
+def test_band_group_streaming_equivalence():
+    """G > 1 recomputes the join per group (memory streaming); the
+    candidate buffer must be identical to the G == 1 build."""
+    import jax.numpy as jnp
+
+    from mhap_tpu.index import joinvote as JV
+    from mhap_tpu.index.postings import build_postings_device
+
+    rng = np.random.default_rng(3)
+    N, H, Q = 300, 16, 128
+    mh = rng.integers(-500, 500, (N, H)).astype(np.int32)
+    pv, ps = build_postings_device(mh)
+    q_rows = np.arange(0, N, N // Q)[:Q].astype(np.int32)
+    ji1 = JV.JoinedIndex(pv, ps, jnp.asarray(mh), q_rows, band_groups=1)
+    ji4 = JV.JoinedIndex(pv, ps, jnp.asarray(mh), q_rows, band_groups=4)
+    span, _ = ji1.plan_span()
+    c1 = np.asarray(ji1.build_candidates(span))
+    c4 = np.asarray(ji4.build_candidates(span))
+    np.testing.assert_array_equal(np.sort(c1, axis=1), np.sort(c4, axis=1))
+    np.testing.assert_array_equal(np.asarray(ji1.cnt_hq),
+                                  np.asarray(ji4.cnt_hq))
