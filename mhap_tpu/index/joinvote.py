@@ -159,20 +159,21 @@ def _assemble_qmajor(chans_q, lr_q, *, span: int, Hg: int):
 R_DESC_CAP = 1 << 17  # residual descriptor pull size (one transfer)
 
 
-@partial(jax.jit, static_argnames=("span",))
-def _resid_descriptors(cnt_hq, lr_hq, *, span: int):
-    """Compact (band, q, left, cnt) descriptors of cells with
-    cnt > span: flat 2-op sort over [H*Q], ONE fixed-size stacked pull
-    [2, R_DESC_CAP] + count."""
-    H, Q = cnt_hq.shape
-    flat_cnt = cnt_hq.reshape(-1)
+@partial(jax.jit, static_argnames=("span", "cap"))
+def _resid_descriptors(lr_hq, base, *, span: int, cap: int):
+    """Compact global-cell descriptors of cells with cnt > span for ONE
+    band group: flat 2-op sort over [Hg*Q] (chunked so the transient
+    fits HBM at 100k reads), fixed-size [2, cap] output + count.
+    ``base`` = first global cell index of the group (device scalar, so
+    one compile serves every group)."""
+    Hg, Q = lr_hq.shape
     flat_lr = lr_hq.reshape(-1)
+    flat_cnt = (flat_lr & U32(0xFF)).astype(I32)
     over = flat_cnt > span
-    idx = jnp.arange(H * Q, dtype=I32)
+    idx = jnp.arange(Hg * Q, dtype=I32) + base
     key = jnp.where(over, idx, jnp.iinfo(jnp.int32).max)
     s_key, s_lr = jax.lax.sort((key, flat_lr), num_keys=1)
     n_over = jnp.sum(over.astype(I32))
-    cap = min(R_DESC_CAP, H * Q)
     packed = jnp.stack([s_key[:cap], s_lr[:cap].astype(I32)])
     return packed, n_over
 
@@ -235,6 +236,7 @@ class JoinedIndex:
         self.cnt_hq = (self.lr_hq & U32(0xFF)).astype(I32)
         st = _stats_from_cnt(self.cnt_hq)
         stats = np.asarray(jnp.stack(st))
+        self.cnt_hq = None  # derived from lr_hq when needed (HBM)
         self.hits_q = stats[0]
         self.max_cnt_q = stats[1]
         self.resid_q = {s: stats[2 + i] for i, s in enumerate(SPANS)}
@@ -288,21 +290,24 @@ class JoinedIndex:
         total = int(self.resid_q[span].sum())
         if total == 0:
             return cand, np.zeros(0, np.int64)
-        packed, n_over = _resid_descriptors(self.cnt_hq, self.lr_hq,
-                                            span=span)
-        try:
-            packed.copy_to_host_async()
-        except AttributeError:
-            pass
-        n_over = int(n_over)
-        if n_over > packed.shape[1]:
-            # more overflowing cells than the descriptor cap: treat every
-            # affected query as a host-fallback row (pathological data)
-            rq = np.nonzero(self.resid_q[span] > 0)[0]
-            return cand, rq
-        desc = np.asarray(packed)
-        desc_key = desc[0, :n_over]
-        desc_lr = desc[1, :n_over].view(np.uint32)
+        cap = min(R_DESC_CAP, self.Hg * self.Q)
+        keys_parts, lr_parts = [], []
+        for g in range(self.G):
+            sl = slice(g * self.Hg, (g + 1) * self.Hg)
+            packed, n_over = _resid_descriptors(
+                self.lr_hq[sl], jax.device_put(
+                    np.int32(g * self.Hg * self.Q)), span=span, cap=cap)
+            n_over = int(n_over)
+            if n_over > cap:
+                # more overflowing cells than the descriptor cap: every
+                # affected query host-fallbacks (pathological data)
+                rq = np.nonzero(self.resid_q[span] > 0)[0]
+                return cand, rq
+            desc = np.asarray(packed)
+            keys_parts.append(desc[0, :n_over])
+            lr_parts.append(desc[1, :n_over].view(np.uint32))
+        desc_key = np.concatenate(keys_parts)
+        desc_lr = np.concatenate(lr_parts)
         bands = desc_key // self.Q
         qs = desc_key % self.Q
         left = (desc_lr >> 8).astype(np.int64)

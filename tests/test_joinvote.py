@@ -108,5 +108,5 @@ def test_band_group_streaming_equivalence():
     c1 = np.asarray(ji1.build_candidates(span))
     c4 = np.asarray(ji4.build_candidates(span))
     np.testing.assert_array_equal(np.sort(c1, axis=1), np.sort(c4, axis=1))
-    np.testing.assert_array_equal(np.asarray(ji1.cnt_hq),
-                                  np.asarray(ji4.cnt_hq))
+    np.testing.assert_array_equal(np.asarray(ji1.lr_hq),
+                                  np.asarray(ji4.lr_hq))
