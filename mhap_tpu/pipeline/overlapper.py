@@ -1031,6 +1031,12 @@ class TpuOverlapper:
         if deferred_flags is not None:
             real_mask = np.concatenate([c["idxs"] >= 0 for c in chunks])
             out_store._pending_flags = (deferred_flags, real_mask)
+        # the chunk closures pin every per-chunk sketch column AND the
+        # packed read buckets on device; by now the store has gathered
+        # its own columns, and keeping them doubles sketch HBM (the
+        # difference between fitting and OOMing at 100k reads)
+        self._concat_fn = None
+        chunks.clear()
         return out_store
 
     def _sketch_entries_host(self, entries, do_rc) -> SketchStore:
@@ -1969,6 +1975,8 @@ class TpuOverlapper:
         buf_q, buf_c, total = JV.compact_pairs(
             jnp.stack(pairs_q), jnp.stack(pairs_c),
             total_cap=n_chunks * p_cap)
+        del cand  # 1.6GB at 100k reads; scoring no longer needs it
+        ji.q_t_full = None
         st_all = jnp.concatenate(stats_parts, axis=1)  # [4, Q_pad]
         st_np, pulled = self._pull_combined(st_all, [total.reshape(1)])
         total = int(pulled[0][0])
