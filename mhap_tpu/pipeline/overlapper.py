@@ -1264,11 +1264,10 @@ class TpuOverlapper:
         exact scorer, runs the automaton over a full-overlap pair and
         dominates the dispatch).
 
-        Tuple layout: (ordered_h, ordered_p, ordered_m, num_kmers,
-        ordered_h_rev, ordered_p_rev).  The _rev columns are row-reversed
-        copies for the fused pallas scorer's b side (Mosaic has no `rev`;
-        the bitonic merge wants the candidate list descending), computed
-        once per store on device."""
+        Tuple layout: (ordered_h, ordered_p, ordered_m, num_kmers).
+        The fused pallas scorer's b side needs row-reversed entries; the
+        score bodies reverse the GATHERED slices (fused into the gather
+        by XLA) instead of holding reversed table copies."""
         N = len(store)
         N_pad = (N // quantum + 1) * quantum
         cached = store._dev_cache
@@ -1285,9 +1284,6 @@ class TpuOverlapper:
                 a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
                             constant_values=pad_vals[name])
             cols.append(a)
-        if self._use_pallas_scorer():
-            oh_r, op_r = _reverse_cols_jit(cols[0], cols[1])
-            cols += [oh_r, op_r]
         dev = tuple(cols)
         store._dev_cache = (N_pad, dev)
         return dev
@@ -1337,11 +1333,14 @@ class TpuOverlapper:
 
             def body(q_dev, c_dev, qi, ci):
                 qoh, qop, qom, qnk = q_dev[:4]
-                com, cnk, cohr, copr = (c_dev[2], c_dev[3], c_dev[4],
-                                        c_dev[5])
+                coh, cop, com, cnk = c_dev[:4]
+                # the kernel wants the candidate rows REVERSED (Mosaic
+                # has no `rev`); reversing the GATHERED slice here lets
+                # XLA fuse the flip into the gather -- no row-reversed
+                # table copies (2.4GB at 100k reads)
                 out = score_pairs_pallas(
                     qoh[qi], qop[qi], qom[qi], qnk[qi],
-                    cohr[ci], copr[ci], com[ci], cnk[ci],
+                    coh[ci][:, ::-1], cop[ci][:, ::-1], com[ci], cnk[ci],
                     max_shift_mul=mm, sketch_size=S)
                 out = dict(out)
                 out["slow_flag"] = out["needs_slow"]
@@ -1975,8 +1974,12 @@ class TpuOverlapper:
         buf_q, buf_c, total = JV.compact_pairs(
             jnp.stack(pairs_q), jnp.stack(pairs_c),
             total_cap=n_chunks * p_cap)
-        del cand  # 1.6GB at 100k reads; scoring no longer needs it
+        # 1.6GB+ at 100k reads; scoring no longer needs any of these
+        del cand
         ji.q_t_full = None
+        ji.lr_hq = None
+        ji.joined = []
+        store._dev_postings = None  # rebuilt next run (~0.15s)
         st_all = jnp.concatenate(stats_parts, axis=1)  # [4, Q_pad]
         st_np, pulled = self._pull_combined(st_all, [total.reshape(1)])
         total = int(pulled[0][0])
@@ -2248,9 +2251,7 @@ _MINHASH_IMPL = os.environ.get("MHAP_TPU_MINHASH", "pallas")
 _SCORER_IMPL = os.environ.get("MHAP_TPU_SCORER", "pallas")
 
 
-@jax.jit
-def _reverse_cols_jit(oh, op):
-    return oh[:, ::-1], op[:, ::-1]
+
 
 
 def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
