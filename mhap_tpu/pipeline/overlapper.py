@@ -1392,7 +1392,7 @@ class TpuOverlapper:
         parts = []
         B = self.SCORE_DISPATCH_MAX
         if self._use_pallas_scorer():
-            B = max(P, 2048)
+            B = max(P, 8192)
         for s in range(0, T, B):
             e = min(s + B, T)
             T_pad = (B if self._use_pallas_scorer()
@@ -1781,8 +1781,11 @@ class TpuOverlapper:
             b = 0
             if self._use_pallas_scorer():
                 # fixed-size slices: the fused kernel compiles ONCE per
-                # process; padding waste is ~5us/lane * (SQ-1) worst case
-                step = max(SQ, 2048)
+                # process, and ONE slice covers a typical chunk's pairs
+                # so the speculative head + combined pull stay a single
+                # round trip (a 2048 step cost two extra RTs per chunk
+                # and ~90ms of bench steady)
+                step = max(SQ, 8192)
                 while b < upto:
                     plan.append((b, step))
                     b += step
@@ -1916,10 +1919,25 @@ class TpuOverlapper:
         if index[0] == "dev":
             if (len(store) >= self.WIDE_STORE_MIN
                     and self._wide_path_ok(store, queries, to_self)):
-                return self._find_matches_wide(index, queries, q_sel,
-                                               to_self)
+                # bound device memory by processing queries in slabs
+                # (votes and suppression are per-query independent, so
+                # slab partitioning is exact); the candidate buffer is
+                # the big per-slab allocation: ~H*span*4 bytes per query
+                slab = self.WIDE_QUERY_SLAB
+                if len(q_sel) <= slab:
+                    return self._find_matches_wide(index, queries, q_sel,
+                                                   to_self)
+                lines: list[str] = []
+                for s in range(0, len(q_sel), slab):
+                    lines += self._find_matches_wide(
+                        index, queries, q_sel[s:s + slab], to_self)
+                return lines
             return self._find_matches_device(index, queries, q_sel, to_self)
         return self._find_matches_host(index, queries, q_sel, to_self)
+
+    # queries per wide-path slab: keeps the [slab, H*span] candidate
+    # buffer ~0.7GB and the join width bounded at very large stores
+    WIDE_QUERY_SLAB = 40960
 
     def _wide_path_ok(self, store, queries, to_self) -> bool:
         """The wide path's row-compare suppression assumes default

@@ -110,3 +110,17 @@ def test_band_group_streaming_equivalence():
     np.testing.assert_array_equal(np.sort(c1, axis=1), np.sort(c4, axis=1))
     np.testing.assert_array_equal(np.asarray(ji1.lr_hq),
                                   np.asarray(ji4.lr_hq))
+
+
+def test_wide_query_slabs_exact():
+    """Slab-partitioned wide path (memory bounding at 100k+) must give
+    the same line set as a single slab."""
+    reads = _mk(n_reads=180, seed=12)
+    ref = TpuOverlapper()
+    ref.device_vote = False
+    expect = ref.overlap_self(reads)
+    ov = _wide()
+    ov.WIDE_QUERY_SLAB = 64  # force several slabs
+    got = ov.overlap_self(reads)
+    assert set(got) == set(expect)
+    assert len(got) == len(expect)
