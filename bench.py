@@ -323,6 +323,65 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
     return out
 
 
+def bench_config_repeat40k(n_reads=40_000, verify_native=False):
+    """Adversarial reference-scale config (VERDICT r3 item 9): a
+    repeat-dominated genome (~24% of the genome is copies of one 2kb
+    repeat family) at 40k reads with the tf-idf filter file active --
+    the reference's worst case (sketch/FrequencyCounts.java weighting +
+    MinHashSearch.java:443 bucket blowup).  Native parity via the C++
+    port's -f filter support."""
+    import tempfile
+
+    from mhap_tpu.io.fasta import open_text
+    from mhap_tpu.oracle.filter import FrequencyCounts
+    from mhap_tpu.pipeline.freqfilter import VectorFrequencyFilter
+    from mhap_tpu.pipeline.overlapper import TpuOverlapper
+
+    # lognormal mean length ~1550 at 25x coverage
+    genome_len = int(n_reads * 1550 / 25.0)
+    genome = repeat_seeded_genome(genome_len, seed=SEED + 5,
+                                  repeat_len=2000, n_copies=300)
+    reads, _, _ = make_reads_placed(n_reads, seed=SEED + 5, genome=genome,
+                                    genome_len=genome_len)
+    with tempfile.TemporaryDirectory() as td:
+        fpath = os.path.join(td, "kmers.txt")
+        n_rows = write_filter_file(genome, 16, fpath)
+        with open_text(fpath) as f:
+            fc = FrequencyCounts(f, 1e-5, 0.9, 0, False, 3.0, True)
+        vf = VectorFrequencyFilter(fc)
+        ov = TpuOverlapper(kmer_filter=vf)
+        t0 = time.perf_counter()
+        lines = ov.overlap_self(reads)
+        warm = time.perf_counter() - t0
+        settle = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ov.overlap_self(reads)
+            settle.append(round(time.perf_counter() - t0, 1))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            lines = ov.overlap_self(reads)
+            times.append(time.perf_counter() - t0)
+        steady = sorted(times)[1]
+        out = {"n_reads": n_reads, "filter_kmers": n_rows,
+               "reads_per_s": round(n_reads / steady, 1),
+               "warm_s": round(warm, 1), "settle_s": settle,
+               "steady_s": round(steady, 2),
+               "steady_runs_s": [round(t, 2) for t in times],
+               "overlaps": len(lines),
+               "peak_rss_mb": round(_peak_rss_mb(), 1)}
+        if verify_native:
+            t0 = time.perf_counter()
+            _, n_native, threads = bench_native(
+                reads, extra=["-f", fpath])
+            out["native_s"] = round(time.perf_counter() - t0, 1)
+            out["native_overlaps"] = n_native
+            out["native_threads"] = threads
+            out["overlaps_match"] = n_native == len(lines)
+    return out
+
+
 def bench_config_scale100k(n_reads=100_000, verify_native=False):
     """Capacity headline: 2.5x the reference's published 32GB/40k
     guidance on ONE chip (quickstart.rst:23).  Single warm + steady run
@@ -388,7 +447,7 @@ def bench_oracle(reads):
     return len(reads) / dt, len(lines)
 
 
-def bench_native(reads, threads=None):
+def bench_native(reads, threads=None, extra=()):
     """Time the native multithreaded CPU pipeline (the Java-reference
     stand-in: same algorithm + data structures as the reference, compiled,
     all host cores; parity-tested in tests/test_native_cpu.py)."""
@@ -408,7 +467,7 @@ def bench_native(reads, threads=None):
     try:
         t0 = time.perf_counter()
         out = subprocess.run(
-            [binary, "-s", path, "--num-threads", str(threads)],
+            [binary, "-s", path, "--num-threads", str(threads), *extra],
             capture_output=True, text=True, check=True)
         dt = time.perf_counter() - t0
     finally:
@@ -440,9 +499,11 @@ def main():
         fn = {"lognormal10k": bench_config_lognormal,
               "filtered2k": bench_config_filtered,
               "scale40k": bench_config_scale40k,
+              "repeat40k": bench_config_repeat40k,
               "scale100k": bench_config_scale100k}[name]
         kw = ({"verify_native": True}
-              if name in ("scale40k", "lognormal10k", "scale100k")
+              if name in ("scale40k", "lognormal10k", "scale100k",
+                          "repeat40k")
               and "--verify-native" in sys.argv else {})
         print(json.dumps({name: fn(**kw)}))
         return

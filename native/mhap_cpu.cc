@@ -59,9 +59,67 @@ struct Params {
   double max_shift = 0.2;
   int min_store_length = 0;
   int min_olap_length = 116;
-  double repeat_weight = 0.9;  // no filter-file support: tf weighting
+  double repeat_weight = 0.9;
   int num_threads = (int)std::thread::hardware_concurrency();
 };
+
+std::string reverse_complement(const std::string &s);
+
+// tf-idf k-mer filter (sketch/FrequencyCounts.java:100-186,290-311).
+// Only the weight path used by default runs is implemented (offset =
+// repeat_weight, removeUnique=0, tf on, range=3.0, canonicalized
+// k-mers); keys are the murmur3_128 h1 of the canonical k-mer string,
+// the same hash the sketch stage uses for sequence k-mers.
+struct FreqFilter {
+  std::unordered_map<uint64_t, double> sidf;  // key -> scaledIdf (precomp)
+  double range = 3.0;
+  bool loaded = false;
+};
+
+uint64_t kmer_string_hash(const std::string &kmer) {
+  std::string canon = kmer;
+  std::string rc = reverse_complement(kmer);
+  if (rc < canon) canon = rc;
+  uint64_t h1;
+  mhap_kmer_hashes_128((const uint8_t *)canon.data(), (int)canon.size(),
+                       (int)canon.size(), 0, &h1);
+  return h1;
+}
+
+void load_filter(const std::string &path, double cutoff, double offset,
+                 FreqFilter *F) {
+  std::ifstream f(path);
+  if (!f) {
+    std::cerr << "cannot open filter file " << path << "\n";
+    exit(1);
+  }
+  std::string line;
+  std::getline(f, line);  // header: bloomSize repeatCount (bloom unused)
+  std::vector<std::pair<uint64_t, double>> rows;
+  double max_value = -1.0;
+  while (std::getline(f, line)) {
+    std::istringstream iss(line);
+    std::string kmer;
+    double frac;
+    if (!(iss >> kmer >> frac)) continue;
+    if (frac >= cutoff) {
+      rows.emplace_back(kmer_string_hash(kmer), frac);
+      max_value = std::max(max_value, frac);
+    }
+  }
+  F->loaded = true;
+  if (rows.empty()) return;  // no k-mer above cutoff: all weights = tf
+  // idfFreq(f) = log(maxValue/f - offset); scaledIdf maps [minIdf,
+  // maxIdf] onto [1, range] (FrequencyCounts.java:290-311)
+  double min_value = cutoff;
+  double min_idf = std::log(max_value / max_value - offset);
+  double max_idf = std::log(max_value / min_value - offset);
+  double scale = (max_idf - min_idf) / (F->range - 1.0);
+  for (auto &kv : rows) {
+    double idf = std::log(max_value / kv.second - offset);
+    F->sidf[kv.first] = 1.0 + (idf - min_idf) / scale;
+  }
+}
 
 // The oriented-read Sketch struct and the stage-2 scorer live in
 // scorer.h (shared with the FFI differential-test entry).
@@ -95,7 +153,7 @@ std::string reverse_complement(const std::string &s) {
 // signed-64 strict-less min; stored value is the winning kmer's low/high
 // 32 bits by word parity.
 bool weighted_minhash(const uint64_t *hashes, int n, const Params &P,
-                      std::vector<int32_t> *out) {
+                      const FreqFilter &F, std::vector<int32_t> *out) {
   std::unordered_map<uint64_t, int32_t> index;
   index.reserve((size_t)n * 2);
   std::vector<uint64_t> keys;
@@ -121,7 +179,19 @@ bool weighted_minhash(const uint64_t *hashes, int n, const Params &P,
   for (size_t u = 0; u < keys.size(); u++) {
     uint64_t key = keys[u];
     int weight = counts[u];
-    if (P.repeat_weight < 0.0) weight = 1;
+    if (P.repeat_weight < 0.0) {
+      // legacy mode: popular k-mers dropped, everything else weight 1
+      // (MinHashSketch.java:103-109)
+      if (F.loaded && F.sidf.count(key)) continue;
+      weight = 1;
+    } else if (F.loaded && P.repeat_weight < 1.0) {
+      // tf-idf: Java double product + Math.round == floor(x + 0.5),
+      // clamped to >= 1 (MinHashSketch.java:110-123)
+      auto it = F.sidf.find(key);
+      double s = (it == F.sidf.end()) ? F.range : it->second;
+      int64_t w = (int64_t)std::floor((double)weight * s + 0.5);
+      weight = (int)std::max<int64_t>(1, w);
+    }
     if (weight <= 0) continue;
     number_valid++;
     uint64_t x = key;
@@ -161,7 +231,8 @@ void bottom_sketch(const uint32_t *hashes, int n, int sketch_size,
   }
 }
 
-void build_sketch(const std::string &seq, const Params &P, Sketch *sk) {
+void build_sketch(const std::string &seq, const Params &P,
+                  const FreqFilter &F, Sketch *sk) {
   int len = (int)seq.size();
   sk->length = len;
   int n1 = len - P.kmer_size + 1;
@@ -173,7 +244,7 @@ void build_sketch(const std::string &seq, const Params &P, Sketch *sk) {
   std::vector<uint64_t> h128(n1);
   mhap_kmer_hashes_128((const uint8_t *)seq.data(), len, P.kmer_size, 0,
                        h128.data());
-  sk->valid = weighted_minhash(h128.data(), n1, P, &sk->minhash);
+  sk->valid = weighted_minhash(h128.data(), n1, P, F, &sk->minhash);
   if (!sk->valid) return;
   std::vector<uint32_t> h32(n2);
   mhap_kmer_hashes_32((const uint8_t *)seq.data(), len, P.ordered_kmer_size,
@@ -276,6 +347,8 @@ void read_fasta(const std::string &path, std::vector<std::string> *reads) {
 int main(int argc, char **argv) {
   Params P;
   std::string fasta;
+  std::string filter_path;
+  double filter_cutoff = 1e-5;  // MHAP --filter-threshold default
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     auto next = [&](void) -> std::string {
@@ -283,6 +356,8 @@ int main(int argc, char **argv) {
       return argv[++i];
     };
     if (a == "-s") fasta = next();
+    else if (a == "-f") filter_path = next();
+    else if (a == "--filter-threshold") filter_cutoff = std::stod(next());
     else if (a == "-k") P.kmer_size = std::stoi(next());
     else if (a == "--num-hashes") P.num_hashes = std::stoi(next());
     else if (a == "--num-min-matches") P.num_min_matches = std::stoi(next());
@@ -301,6 +376,10 @@ int main(int argc, char **argv) {
     return 1;
   }
   if (P.num_threads < 1) P.num_threads = 1;
+
+  FreqFilter F;
+  if (!filter_path.empty())
+    load_filter(filter_path, filter_cutoff, P.repeat_weight, &F);
 
   std::vector<std::string> reads;
   read_fasta(fasta, &reads);
@@ -325,7 +404,7 @@ int main(int argc, char **argv) {
       while ((j = next.fetch_add(1)) < entries.size()) {
         sk[j].hid = entries[j].hid;
         sk[j].fwd = entries[j].fwd;
-        build_sketch(entries[j].seq, P, &sk[j]);
+        build_sketch(entries[j].seq, P, F, &sk[j]);
       }
     };
     std::vector<std::thread> threads;

@@ -94,6 +94,60 @@ def test_cpp_matches_oracle_legacy_weight_and_min_store():
         repeat_weight=-1.0, min_store_length=1200)))
 
 
+def test_cpp_matches_oracle_with_filter_file(tmp_path):
+    """tf-idf filter-file path: C++ -f == oracle FrequencyCounts
+    (sketch/FrequencyCounts.java:100-186,290-311 weighting)."""
+    from collections import Counter
+
+    from mhap_tpu.oracle.filter import FrequencyCounts
+    from mhap_tpu.oracle.pipeline import overlap_self
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = rng.integers(0, 4, 12000)
+    repeat = rng.integers(0, 4, 600)
+    for _ in range(6):
+        pos = int(rng.integers(0, 12000 - 600))
+        genome[pos:pos + 600] = repeat
+    gs = bytes(bases[genome]).decode()
+    k = 16
+    total = len(gs) - k + 1
+    counts = Counter(gs[i:i + k] for i in range(total))
+    fpath = tmp_path / "kmers.txt"
+    rows = [(km, c / total) for km, c in counts.most_common(800)
+            if c / total >= 1e-5]
+    with open(fpath, "w") as f:
+        f.write(f"{len(rows)} {len(rows)}\n")
+        for km, frac in rows:
+            f.write(f"{km} {frac:.10g}\n")
+
+    reads = []
+    for _ in range(20):
+        pos = int(rng.integers(0, 12000 - 1600))
+        raw = genome[pos:pos + 1650]
+        out = []
+        for b in raw:
+            r = rng.random()
+            if r < 0.05:
+                out.extend([b, int(rng.integers(0, 4))])
+            elif r < 0.08:
+                pass
+            else:
+                out.append(b)
+            if len(out) >= 1500:
+                break
+        reads.append(bytes(bases[np.asarray(out[:1500])]).decode())
+
+    with open(fpath) as f:
+        fc = FrequencyCounts(f, 1e-5, 0.9, 0, False, 3.0, True)
+    want = sorted(overlap_self(reads, kmer_filter=fc))
+    got = _run_cpp(reads, extra=["-f", str(fpath)])
+    assert got == want
+    # the filter must actually change the outcome on this input, or the
+    # test proves nothing
+    assert got != _run_cpp(reads)
+
+
 def test_cpp_matches_device_pipeline():
     """Close the triangle: C++ == device (oracle == device is tested
     elsewhere; this pins all three on one input)."""
