@@ -42,11 +42,23 @@ saturated/overflowed/monster queries are re-run on the exact host path.
 
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_WPROF = os.environ.get("MHAP_WIDE_PROFILE") == "1"
+
+
+def _wp(label, t0):
+    if not _WPROF:
+        return t0
+    t1 = time.perf_counter()
+    print(f"[wprof]   resid.{label}: {t1 - t0:.3f}s", flush=True)
+    return t1
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -215,8 +227,16 @@ class JoinedIndex:
         self.post_vals = post_vals
         self.post_sids = post_sids
         self.q_rows = np.asarray(q_rows, np.int32)
-        q_rows_dev = jnp.asarray(self.q_rows)
-        self.q_t_full = query_mh[q_rows_dev].T  # [H, Q] device
+        # q_rows < 0 are padding slots (shape-unified query slabs): their
+        # join columns get the INT32_MAX sentinel so they match nothing
+        # and every per-query stat/residual stays exactly zero
+        valid = self.q_rows >= 0
+        q_rows_dev = jnp.asarray(np.where(valid, self.q_rows, 0))
+        q_t = query_mh[q_rows_dev].T  # [H, Q] device
+        if not valid.all():
+            q_t = jnp.where(jnp.asarray(valid)[None, :], q_t,
+                            jnp.int32(0x7FFFFFFF))
+        self.q_t_full = q_t
         # stage A per group.  With more than one band group the joined
         # arrays are NOT retained (holding G groups' [Hg, M] triples is
         # what blows HBM at 100k reads); stage B recomputes the join per
@@ -259,7 +279,8 @@ class JoinedIndex:
         return span, np.nonzero(fb)[0]
 
     def build_candidates(self, span: int):
-        """Stage B: the [Q, H*span + E_RESID] u32 candidate buffer."""
+        """Stage B: the [Q, H*span] u32 candidate buffer (the E_RESID
+        residual columns are attached by apply_residuals)."""
         parts = []
         for g in range(self.G):
             if self.G == 1:
@@ -279,17 +300,27 @@ class JoinedIndex:
             sl = slice(g * self.Hg, (g + 1) * self.Hg)
             parts.append(_assemble_qmajor(
                 tuple(chans_q), self.lr_hq[sl], span=span, Hg=self.Hg))
-        cand = jnp.concatenate(parts, axis=1)  # [Q, H*span]
-        sent = jnp.full((self.Q, E_RESID), 0xFFFFFFFF, U32)
-        return jnp.concatenate([cand, sent], axis=1)
+        return jnp.concatenate(parts, axis=1)  # [Q, H*span]
+
+    def _with_resid_cols(self, cand, fill: np.ndarray | None):
+        """Attach the E_RESID columns (host fill or all-sentinel) by
+        CONCATENATION: a .at[rows].set scatter into the ~0.7GB buffer
+        lowers to a serialized TPU scatter and measured ~13s per slab
+        at 100k reads; the dense [Q, E] upload + concat is ~0.7s on the
+        16MB/s link."""
+        if fill is None:
+            fill = np.full((self.Q, E_RESID), 0xFFFFFFFF, np.uint32)
+        return jnp.concatenate([cand, jnp.asarray(fill)], axis=1)
 
     def apply_residuals(self, cand, span: int):
         """Exact residual hits for cells with cnt > span, via ONE small
         host round trip.  Returns (cand', overflow_rows) where
-        overflow_rows exceeded E_RESID and must host-fallback."""
+        overflow_rows exceeded E_RESID and must host-fallback; cand'
+        always has width H*span + E_RESID."""
         total = int(self.resid_q[span].sum())
         if total == 0:
-            return cand, np.zeros(0, np.int64)
+            return self._with_resid_cols(cand, None), np.zeros(0, np.int64)
+        tp = time.perf_counter()
         cap = min(R_DESC_CAP, self.Hg * self.Q)
         keys_parts, lr_parts = [], []
         for g in range(self.G):
@@ -302,10 +333,11 @@ class JoinedIndex:
                 # more overflowing cells than the descriptor cap: every
                 # affected query host-fallbacks (pathological data)
                 rq = np.nonzero(self.resid_q[span] > 0)[0]
-                return cand, rq
+                return self._with_resid_cols(cand, None), rq
             desc = np.asarray(packed)
             keys_parts.append(desc[0, :n_over])
             lr_parts.append(desc[1, :n_over].view(np.uint32))
+        tp = _wp("descriptors", tp)
         desc_key = np.concatenate(keys_parts)
         desc_lr = np.concatenate(lr_parts)
         bands = desc_key // self.Q
@@ -321,23 +353,30 @@ class JoinedIndex:
         offs = np.arange(len(flat_b)) - np.repeat(
             np.cumsum(reps) - reps, reps)
         flat_slot = (starts + offs).astype(np.int32)
+        tp = _wp("expand", tp)
         sids = np.asarray(_resid_gather(self.post_sids,
                                         jnp.asarray(flat_b),
                                         jnp.asarray(flat_slot)))
-        # pack per query into E_RESID columns (host-side; tiny)
+        tp = _wp(f"gather n={len(flat_b)}", tp)
+        # pack per query into E_RESID columns (host-side; tiny), then
+        # REPLACE the sentinel residual block by concatenation: a
+        # .at[rows].set scatter into the ~0.7GB candidate buffer lowers
+        # to a serialized TPU scatter and measured ~13s per slab at 100k
+        # reads; the dense host fill + one [Q, E] upload + concat is
+        # ~0.7s on the 16MB/s link
         order = np.argsort(flat_q, kind="stable")
         fq, fs = flat_q[order], sids[order]
         uq, qstart, qcnt = np.unique(fq, return_index=True,
                                      return_counts=True)
         overflow_rows = uq[qcnt > E_RESID]
-        fill = np.full((len(uq), E_RESID), 0xFFFFFFFF, np.uint32)
-        for i, (st0, c) in enumerate(zip(qstart, qcnt)):
+        fill = np.full((self.Q, E_RESID), 0xFFFFFFFF, np.uint32)
+        for q, st0, c in zip(uq, qstart, qcnt):
             c2 = min(int(c), E_RESID)
-            fill[i, :c2] = fs[st0:st0 + c2]
-        W0 = cand.shape[1] - E_RESID
-        cand = cand.at[jnp.asarray(uq.astype(np.int32)), W0:].set(
-            jnp.asarray(fill))
-        return cand, overflow_rows
+            fill[q, :c2] = fs[st0:st0 + c2]
+        tp = _wp(f"fill nq={len(uq)}", tp)
+        out = self._with_resid_cols(cand, fill), overflow_rows
+        _wp("concat", tp)
+        return out
 
 
 @partial(jax.jit, static_argnames=("mm", "to_self", "p_cap"))
@@ -408,6 +447,51 @@ def vote_chunk(cand_slice, q_store_rows, q_valid, *, mm: int,
     stats = jnp.stack([distinct, saturated.astype(I32), pair_cnt_q,
                        counters])
     return pairs_q, pairs_c, stats
+
+
+DIRECT_NQ = 64        # direct-vote batch (padded; one compile)
+DIRECT_PAIR_CAP = 1 << 17
+
+
+@partial(jax.jit, static_argnames=("mm", "to_self"))
+def direct_vote(store_mh, query_mh, rows, *, mm: int, to_self: bool):
+    """EXACT uncapped vote for a batch of queries, no postings needed:
+    votes[c] = #bands where store_mh[c, h] == q[h] -- definitionally
+    what the LSH run-length vote computes (MinHashSearch.java:149-178),
+    with no span/count/top-k capacity anywhere.  Used for the wide
+    path's capacity-overflow queries (monster repeats): one streaming
+    pass over the [N, H] sketch matrix instead of the host postings
+    rebuild (~60s at 200k rows) the host fallback cost.
+
+    store_mh [N, H] i32; query_mh [Nq, H]; rows [B] i32 store rows of
+    the queries (-1 = padding).  Returns (pairs_q, pairs_c [cap] i32,
+    stats [3]: total pairs, hit mass, distinct candidates)."""
+    N = store_mh.shape[0]
+    B = rows.shape[0]
+    valid = rows >= 0
+    q = query_mh[jnp.clip(rows, 0, query_mh.shape[0] - 1)]      # [B, H]
+    votes = jnp.sum((store_mh[None, :, :] == q[:, None, :]),
+                    axis=-1, dtype=I32)                          # [B, N]
+    votes = jnp.where(valid[:, None], votes, 0)
+    hits = jnp.sum(votes)
+    distinct = jnp.sum(votes > 0)
+    keep = votes >= mm
+    crow = jnp.broadcast_to(jnp.arange(N, dtype=I32)[None], (B, N))
+    if to_self:
+        # suppression at default minStoreLength reduces to a row
+        # compare (store rows are header-ordered; see vote_chunk)
+        keep &= crow < rows[:, None]
+    total = jnp.sum(keep).astype(I32)
+    flat = keep.reshape(-1)
+    idx = jnp.arange(B * N, dtype=I32)
+    key = jnp.where(flat, idx, jnp.iinfo(jnp.int32).max)
+    qrow = jnp.broadcast_to(rows[:, None], (B, N)).reshape(-1)
+    _, s_q, s_c = jax.lax.sort((key, qrow, crow.reshape(-1)), num_keys=1)
+    cap = min(DIRECT_PAIR_CAP, B * N)
+    in_cnt = jnp.arange(cap, dtype=I32) < total
+    pairs_q = jnp.where(in_cnt, s_q[:cap], -1)
+    pairs_c = jnp.where(in_cnt, s_c[:cap], -1)
+    return pairs_q, pairs_c, jnp.stack([total, hits, distinct])
 
 
 @partial(jax.jit, static_argnames=("total_cap",))

@@ -30,12 +30,32 @@ reads, so the base cap almost always holds).
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# MHAP_WIDE_PROFILE=1: print blocking per-stage wall times of the wide
+# path (dev-only; the blocks serialize the pipeline, so profiled runs
+# are slower than production runs)
+_WPROF = os.environ.get("MHAP_WIDE_PROFILE") == "1"
+
+
+def _wp(label: str, t0: float, *arrs) -> float:
+    """Profiling helper: block on `arrs`, print elapsed, return new t0."""
+    if not _WPROF:
+        return t0
+    for a in arrs:
+        try:
+            a.block_until_ready()
+        except AttributeError:
+            pass
+    t1 = time.perf_counter()
+    print(f"[wprof] {label}: {t1 - t0:.3f}s", flush=True)
+    return t1
 
 from ..oracle import scorer as _oscorer
 from ..ops import bottomk as _bottomk
@@ -1929,8 +1949,15 @@ class TpuOverlapper:
                                                    to_self)
                 lines: list[str] = []
                 for s in range(0, len(q_sel), slab):
+                    part = np.asarray(q_sel[s:s + slab], np.int32)
+                    if len(part) < slab:
+                        # pad the trailing slab to the full slab shape:
+                        # every slab then reuses ONE compiled program set
+                        part = np.concatenate(
+                            [part, np.full(slab - len(part), -1,
+                                           np.int32)])
                     lines += self._find_matches_wide(
-                        index, queries, q_sel[s:s + slab], to_self)
+                        index, queries, part, to_self)
                 return lines
             return self._find_matches_device(index, queries, q_sel, to_self)
         return self._find_matches_host(index, queries, q_sel, to_self)
@@ -1961,24 +1988,38 @@ class TpuOverlapper:
         cfg = self.cfg
         mm = cfg["num_min_matches"]
         t0 = time.perf_counter()
+        tp = time.perf_counter()
+        # pad the query slab to a QC multiple with -1 slots BEFORE the
+        # join: every slab of a run then shares one shape (one compile
+        # set; the old trailing-slab shape compiled a full second set),
+        # and the candidate buffer is born chunk-aligned (no 0.7GB pad
+        # copy).  Padding slots join with a sentinel value (JoinedIndex)
+        # and are masked out of the vote by q_valid.
+        q_sel = np.asarray(q_sel, np.int32)
+        # real wide runs (N >= 2^16 implies >= ~33k reads) always have
+        # >= QC queries; the small-Q case only exists for the forced
+        # WIDE_STORE_MIN tests, where a full-QC pad would inflate the
+        # join ~50x -- chunk at a 256-quantum instead
+        Qc = (JV.QC if len(q_sel) >= JV.QC
+              else max(256, -(-len(q_sel) // 256) * 256))
+        n_chunks = -(-len(q_sel) // Qc)
+        Q = n_chunks * Qc
+        if Q > len(q_sel):
+            q_sel = np.concatenate(
+                [q_sel, np.full(Q - len(q_sel), -1, np.int32)])
         ji = JV.JoinedIndex(handle[0], handle[1], queries.dev("minhash"),
-                            q_sel.astype(np.int32))
+                            q_sel)
+        tp = _wp(f"stageA Q={Q} G={ji.G}", tp, ji.lr_hq)
         span, fb_idx = ji.plan_span()
         cand = ji.build_candidates(span)
+        tp = _wp(f"stageB span={span}", tp, cand)
         cand, over_rows = ji.apply_residuals(cand, span)
+        tp = _wp("residuals", tp, cand)
         fallback = set(int(i) for i in fb_idx)
         fallback.update(int(i) for i in over_rows)
 
-        Q = len(q_sel)
-        Qc = JV.QC
-        n_chunks = -(-Q // Qc)
-        Q_pad = n_chunks * Qc
-        if Q_pad > Q:
-            cand = jnp.pad(cand, ((0, Q_pad - Q), (0, 0)),
-                           constant_values=np.uint32(0xFFFFFFFF))
         p_cap = 32 * Qc
-        rows_pad = np.full(Q_pad, -1, np.int32)
-        rows_pad[:Q] = q_sel
+        rows_pad = q_sel
         pairs_q, pairs_c, stats_parts = [], [], []
         for ci in range(n_chunks):
             sl = jax.lax.dynamic_slice_in_dim(cand, ci * Qc, Qc, axis=0)
@@ -1989,9 +2030,11 @@ class TpuOverlapper:
             pairs_q.append(pq)
             pairs_c.append(pc)
             stats_parts.append(st)
+        tp = _wp(f"stageC n_chunks={n_chunks}", tp, *pairs_q)
         buf_q, buf_c, total = JV.compact_pairs(
             jnp.stack(pairs_q), jnp.stack(pairs_c),
             total_cap=n_chunks * p_cap)
+        tp = _wp("compact", tp, buf_q)
         # 1.6GB+ at 100k reads; scoring no longer needs any of these
         del cand
         ji.q_t_full = None
@@ -2001,6 +2044,7 @@ class TpuOverlapper:
         st_all = jnp.concatenate(stats_parts, axis=1)  # [4, Q_pad]
         st_np, pulled = self._pull_combined(st_all, [total.reshape(1)])
         total = int(pulled[0][0])
+        tp = _wp(f"stats-sync total={total}", tp)
         self.stats["minhash_search_time"] += time.perf_counter() - t0
 
         # stats + escalation sets
@@ -2017,13 +2061,52 @@ class TpuOverlapper:
         lines = self._score_wide(queries, store, buf_q, buf_c, total,
                                  q_sel, fallback)
         self.stats["sort_merge_time"] += time.perf_counter() - t0
+        tp = _wp("score+format", tp)
 
         if fallback:
-            fb = np.asarray(sorted(fallback), np.int64)
-            lines += self._find_matches_host(
-                ("host", getattr(store, "_host_postings", None)
-                 or self.build_postings(store), store),
-                queries, q_sel[fb], to_self)
+            # drop padding slots (q_sel[i] < 0) that landed in a
+            # chunk-overflow range
+            fb = np.asarray([i for i in sorted(fallback)
+                             if q_sel[i] >= 0], np.int64)
+            if len(fb):
+                lines += self._find_matches_direct(
+                    queries, store, q_sel[fb], to_self)
+                tp = _wp(f"direct-fallback n={len(fb)}", tp)
+        return lines
+
+    def _find_matches_direct(self, queries, store, q_rows,
+                             to_self) -> list[str]:
+        """Exact uncapped device vote (index/joinvote.direct_vote) for
+        the wide path's capacity-overflow queries.  The old host-postings
+        fallback rebuilt the [H, N] host tables every run (~60s at 200k
+        rows for a handful of monster queries); this is one streaming
+        pass over the sketch matrix per 64-query batch."""
+        from ..index import joinvote as JV
+
+        mh_c = store.dev("minhash")
+        mh_q = queries.dev("minhash")
+        mm = self.cfg["num_min_matches"]
+        lines: list[str] = []
+        B = JV.DIRECT_NQ
+        for s in range(0, len(q_rows), B):
+            batch = np.asarray(q_rows[s:s + B], np.int32)
+            rows = np.full(B, -1, np.int32)
+            rows[:len(batch)] = batch
+            pq, pc, st = JV.direct_vote(mh_c, mh_q, jnp.asarray(rows),
+                                        mm=mm, to_self=bool(to_self))
+            st_np = np.asarray(st)
+            total = int(st_np[0])
+            self.stats["elements_processed"] += int(st_np[1])
+            self.stats["sequences_hit"] += int(st_np[2])
+            if total > min(JV.DIRECT_PAIR_CAP, B * len(store)):
+                # beyond the pair cap (pathological): exact host route
+                lines += self._find_matches_host(
+                    ("host", getattr(store, "_host_postings", None)
+                     or self.build_postings(store), store),
+                    queries, batch.astype(np.int64), to_self)
+                continue
+            lines += self._score_wide(queries, store, pq, pc, total,
+                                      np.zeros(0, np.int32), set())
         return lines
 
     WIDE_SCORE_T = 32768  # fixed score-slice lane count (one compile;
@@ -2038,7 +2121,11 @@ class TpuOverlapper:
             return []
         q_dev = self._dev_store(queries)
         c_dev = self._dev_store(store) if store is not queries else q_dev
-        T = self.WIDE_SCORE_T
+        # CPU (test) backend: a 32768-lane padded slice is minutes of
+        # single-core work for a few hundred real pairs; the TPU slice
+        # size is unchanged
+        T = (self.WIDE_SCORE_T if jax.default_backend() != "cpu"
+             else min(self.WIDE_SCORE_T, 4096))
         names = self.SCORE_NAMES
         # 6-word packed readback when every edge fits 16 bits (reads
         # shorter than 65536 bases); the link is the wall here: 24 bytes
@@ -2084,7 +2171,8 @@ class TpuOverlapper:
 
         cfg = self.cfg
         lines: list[str] = []
-        fb_rows = (np.asarray([int(q_sel[i]) for i in fallback], np.int64)
+        fb_rows = (np.asarray([int(q_sel[i]) for i in fallback
+                               if q_sel[i] >= 0], np.int64)
                    if fallback else None)
         self.stats["sequences_fully_compared"] += total
         state = dict(got=0)
