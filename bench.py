@@ -397,12 +397,17 @@ def bench_config_scale100k(n_reads=100_000, verify_native=False):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     settle = round(time.perf_counter() - t0, 1)
-    t0 = time.perf_counter()
-    lines = ov.overlap_self(reads)
-    steady = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        lines = ov.overlap_self(reads)
+        times.append(time.perf_counter() - t0)
+    steady = sorted(times)[1]
     out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
            "warm_s": round(warm, 1), "settle_s": [settle],
-           "steady_s": round(steady, 2), "overlaps": len(lines),
+           "steady_s": round(steady, 2),
+           "steady_runs_s": [round(t, 2) for t in times],
+           "overlaps": len(lines),
            "peak_rss_mb": round(_peak_rss_mb(), 1),
            "reference_guidance": "32GB JVM RAM ~ 40K sequences "
                                  "(quickstart.rst:23)"}
