@@ -500,14 +500,19 @@ class TpuOverlapper:
         prev_same[:, 1:] = s_h[:, 1:] == s_h[:, :-1]
         first = s_valid & ~prev_same
         # run lengths via position-difference of first indices
+        # (vectorized over the whole batch: per-row loops cost ~0.5s per
+        # [512, n] batch on this one-core host at 40k-repeat scale)
         counts = np.zeros((B, n), np.int64)
         nvalid_row = s_valid.sum(axis=1)
-        for b in range(B):
-            fi = np.nonzero(first[b])[0]
-            if len(fi) == 0:
-                continue
-            ends = np.append(fi[1:], nvalid_row[b])
-            counts[b, fi] = ends - fi
+        fr, fc = np.nonzero(first)
+        if len(fr):
+            # end of run i = start of the next run in the same row, else
+            # the row's valid count
+            ends = np.empty(len(fr), np.int64)
+            same_row = fr[:-1] == fr[1:]
+            ends[:-1] = np.where(same_row, fc[1:], nvalid_row[fr[:-1]])
+            ends[-1] = nvalid_row[fr[-1]]
+            counts[fr, fc] = ends - fc
         w = np.zeros((B, n), np.int64)
         fm = first.reshape(-1)
         if fm.any():
@@ -2369,9 +2374,15 @@ def _min_reduce(hi, lo, w, active, tiebreak, num_hashes: int, w_max: int):
 
             return min_reduce_w1_pallas(hi, lo, active,
                                         num_hashes=num_hashes)
-        from ..ops.minhash_pallas import weighted_min_reduce_pallas
+        # the generic weighted kernel's Mosaic stack scales with the
+        # k-mer width: a [*, 7680] w=16 variant needs ~20.5MB of scoped
+        # VMEM against the 16MB limit (measured compile failure).  Wide
+        # buckets take the XLA formulation instead.
+        if hi.shape[1] <= 5120:
+            from ..ops.minhash_pallas import weighted_min_reduce_pallas
 
-        return weighted_min_reduce_pallas(
-            hi, lo, w, active, tiebreak, num_hashes=num_hashes, w_max=w_max)
+            return weighted_min_reduce_pallas(
+                hi, lo, w, active, tiebreak, num_hashes=num_hashes,
+                w_max=w_max)
     return _minhash.weighted_min_reduce(
         hi, lo, w, active, tiebreak, num_hashes=num_hashes, w_max=w_max)
