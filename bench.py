@@ -211,24 +211,22 @@ def bench_config_lognormal(n_reads=10_000, verify_native=False):
                "ppv": round(roc.ppv, 4), "ppv_dp": "device_sw_batched"}
         if verify_native:
             t0 = time.perf_counter()
-            _, n_native, threads = bench_native(reads)
+            _, n_native, threads, nat_sha, nat_lines = bench_native(
+                reads, return_lines=True)
             out["native_s"] = round(time.perf_counter() - t0, 1)
             out["native_overlaps"] = n_native
+            out["lineset_sha256_match"] = nat_sha == lineset_sha256(lines)
             # native line set through the SAME EstimateROC = the anchor
-            # for the README ROC columns (VERDICT r3 item 5)
+            # for the README ROC columns (VERDICT r3 item 5); the lines
+            # captured above are reused -- re-running the multi-minute
+            # native binary a second time bought nothing
             nroc = EstimateROC(min_ovl_len=500, num_trials=2000,
                                do_dp=True)
             nroc.process_reference(truth)
             nroc.load_fasta(fa)
-            import subprocess
-            binary = os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "native", "build", "mhap_cpu")
-            nat = subprocess.run(
-                [binary, "-s", fa, "--num-threads", str(threads)],
-                capture_output=True, text=True, check=True)
             novl = os.path.join(td, "native.mhap")
             with open(novl, "w") as f:
-                f.write(nat.stdout)
+                f.write("\n".join(nat_lines) + "\n")
             nroc.process_overlaps(novl)
             nroc.estimate_sensitivity()
             nroc.estimate_specificity()
@@ -315,11 +313,12 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
            "overlaps": len(lines), "peak_rss_mb": round(_peak_rss_mb(), 1)}
     if verify_native:
         t0 = time.perf_counter()
-        _, n_native, threads = bench_native(reads)
+        _, n_native, threads, nat_sha = bench_native(reads)
         out["native_s"] = round(time.perf_counter() - t0, 1)
         out["native_overlaps"] = n_native
         out["native_threads"] = threads
         out["overlaps_match"] = n_native == len(lines)
+        out["lineset_sha256_match"] = nat_sha == lineset_sha256(lines)
     return out
 
 
@@ -373,12 +372,13 @@ def bench_config_repeat40k(n_reads=40_000, verify_native=False):
                "peak_rss_mb": round(_peak_rss_mb(), 1)}
         if verify_native:
             t0 = time.perf_counter()
-            _, n_native, threads = bench_native(
+            _, n_native, threads, nat_sha = bench_native(
                 reads, extra=["-f", fpath])
             out["native_s"] = round(time.perf_counter() - t0, 1)
             out["native_overlaps"] = n_native
             out["native_threads"] = threads
             out["overlaps_match"] = n_native == len(lines)
+            out["lineset_sha256_match"] = nat_sha == lineset_sha256(lines)
     return out
 
 
@@ -413,11 +413,12 @@ def bench_config_scale100k(n_reads=100_000, verify_native=False):
                                  "(quickstart.rst:23)"}
     if verify_native:
         t0 = time.perf_counter()
-        _, n_native, threads = bench_native(reads)
+        _, n_native, threads, nat_sha = bench_native(reads)
         out["native_s"] = round(time.perf_counter() - t0, 1)
         out["native_overlaps"] = n_native
         out["native_threads"] = threads
         out["overlaps_match"] = n_native == len(lines)
+        out["lineset_sha256_match"] = nat_sha == lineset_sha256(lines)
     return out
 
 
@@ -452,10 +453,22 @@ def bench_oracle(reads):
     return len(reads) / dt, len(lines)
 
 
-def bench_native(reads, threads=None, extra=()):
+def lineset_sha256(lines):
+    """Order-independent content hash of an overlap line set (full-scale
+    parity evidence: count equality alone can hide compensating
+    line differences)."""
+    import hashlib
+
+    return hashlib.sha256(
+        "\n".join(sorted(lines)).encode("utf-8")).hexdigest()
+
+
+def bench_native(reads, threads=None, extra=(), return_lines=False):
     """Time the native multithreaded CPU pipeline (the Java-reference
     stand-in: same algorithm + data structures as the reference, compiled,
-    all host cores; parity-tested in tests/test_native_cpu.py)."""
+    all host cores; parity-tested in tests/test_native_cpu.py).
+
+    Returns (reads/s, #lines, threads, lineset_sha256[, lines])."""
     import subprocess
     import tempfile
 
@@ -477,7 +490,9 @@ def bench_native(reads, threads=None, extra=()):
         dt = time.perf_counter() - t0
     finally:
         os.unlink(path)
-    return len(reads) / dt, len(out.stdout.strip().splitlines()), threads
+    lines = out.stdout.strip().splitlines()
+    ret = (len(reads) / dt, len(lines), threads, lineset_sha256(lines))
+    return ret + (lines,) if return_lines else ret
 
 
 def main():
@@ -486,10 +501,10 @@ def main():
         # as the device run (reads/s is not size-invariant: candidate work
         # grows with coverage)
         reads = make_reads()
-        rps, n_lines, threads = bench_native(reads)
+        rps, n_lines, threads, nat_sha = bench_native(reads)
         data = {"native_reads_per_s": rps, "n_reads": len(reads),
                 "read_len": READ_LEN, "seed": SEED, "overlaps": n_lines,
-                "threads": threads,
+                "threads": threads, "lineset_sha256": nat_sha,
                 "note": "native/mhap_cpu.cc: multithreaded C++ port of the "
                         "reference pipeline on all host cores (no JVM in "
                         "image; same algorithm + data structures as the "

@@ -212,6 +212,12 @@ class JoinedIndex:
         Q = len(q_rows)
         if N >= (1 << TAG_BIT) or Q >= (1 << TAG_BIT):
             raise ValueError("store exceeds the 2^24-row join pack")
+        # vote_chunk packs (votes << 21 | sid): the whole wide path is
+        # only exact for stores under 2^21 rows, enforced HERE where the
+        # packing invariant is relied on (not just at the dispatcher's
+        # _wide_path_ok guard)
+        if N >= (1 << 21):
+            raise ValueError("store exceeds the 2^21-row vote pack")
         self.H, self.N, self.Q = H, N, Q
         self.M = N + Q
         # split-sid bit budget: rs1 needs ceil(log2(M+1)) bits
@@ -253,6 +259,13 @@ class JoinedIndex:
             lr_groups.append(_stage_a_unsort(s_tp, lrpack)[:, N:])
             del s_tp, rs1, rel, lrpack
         self.lr_hq = jnp.concatenate(lr_groups, axis=0)  # [H, Q] u32
+        if not valid.all():
+            # zero padding columns outright: a real posting with value
+            # INT32_MAX would otherwise match the pad sentinel and
+            # inflate hit/residual stats (votes themselves are masked by
+            # q_valid, but the stats and span plan read lr_hq directly)
+            self.lr_hq = jnp.where(jnp.asarray(valid)[None, :],
+                                   self.lr_hq, U32(0))
         self.cnt_hq = (self.lr_hq & U32(0xFF)).astype(I32)
         st = _stats_from_cnt(self.cnt_hq)
         stats = np.asarray(jnp.stack(st))

@@ -2052,31 +2052,48 @@ class TpuOverlapper:
         tp = _wp(f"stats-sync total={total}", tp)
         self.stats["minhash_search_time"] += time.perf_counter() - t0
 
-        # stats + escalation sets
-        self.stats["elements_processed"] += int(ji.hits_q.sum())
-        self.stats["sequences_hit"] += int(st_np[0, :Q].sum())
+        # escalation sets (known BEFORE stats so fallback queries are
+        # counted exactly once, by the path that owns them)
         sat = np.nonzero(st_np[1, :Q])[0]
         fallback.update(int(i) for i in sat)
         # chunk pair-buffer overflow: all queries of that chunk re-run
+        overflow_chunks = []
         for ci in range(n_chunks):
             if int(st_np[3, ci * Qc]) > p_cap:
+                overflow_chunks.append(ci)
                 fallback.update(range(ci * Qc, min((ci + 1) * Qc, Q)))
+        fb = np.asarray([i for i in sorted(fallback)
+                         if q_sel[i] >= 0], np.int64)
+        # stats: fallback queries are re-voted by _find_matches_direct
+        # (which reports its own hit mass / distinct counts), so their
+        # wide-path contributions are excluded here -- the CLI final
+        # stats would otherwise double-count them
+        # (MinHashSearch.java:51-58 semantics)
+        hits_q = np.asarray(ji.hits_q)
+        self.stats["elements_processed"] += (int(hits_q[:Q].sum())
+                                             - int(hits_q[fb].sum()))
+        dist_q = st_np[0, :Q]
+        self.stats["sequences_hit"] += (int(dist_q.sum())
+                                        - int(dist_q[fb].sum()))
+        # pairs of fallback queries flow through _score_wide but are
+        # discarded by the fb_rows filter and re-scored by the direct
+        # path; remove them from sequences_fully_compared as well
+        ovfl = set(overflow_chunks)
+        fb_pairs = sum(min(int(st_np[3, ci * Qc]), p_cap)
+                       for ci in overflow_chunks)
+        fb_pairs += sum(int(st_np[2, i]) for i in fb if i // Qc not in ovfl)
 
         t0 = time.perf_counter()
         lines = self._score_wide(queries, store, buf_q, buf_c, total,
                                  q_sel, fallback)
+        self.stats["sequences_fully_compared"] -= fb_pairs
         self.stats["sort_merge_time"] += time.perf_counter() - t0
         tp = _wp("score+format", tp)
 
-        if fallback:
-            # drop padding slots (q_sel[i] < 0) that landed in a
-            # chunk-overflow range
-            fb = np.asarray([i for i in sorted(fallback)
-                             if q_sel[i] >= 0], np.int64)
-            if len(fb):
-                lines += self._find_matches_direct(
-                    queries, store, q_sel[fb], to_self)
-                tp = _wp(f"direct-fallback n={len(fb)}", tp)
+        if len(fb):
+            lines += self._find_matches_direct(
+                queries, store, q_sel[fb], to_self)
+            tp = _wp(f"direct-fallback n={len(fb)}", tp)
         return lines
 
     def _find_matches_direct(self, queries, store, q_rows,
@@ -2101,15 +2118,20 @@ class TpuOverlapper:
                                         mm=mm, to_self=bool(to_self))
             st_np = np.asarray(st)
             total = int(st_np[0])
-            self.stats["elements_processed"] += int(st_np[1])
-            self.stats["sequences_hit"] += int(st_np[2])
             if total > min(JV.DIRECT_PAIR_CAP, B * len(store)):
-                # beyond the pair cap (pathological): exact host route
+                # beyond the pair cap (pathological): exact host route,
+                # which reports its own stats -- do NOT also add the
+                # direct vote's (they would triple-count the batch)
+                postings = getattr(store, "_host_postings", None)
+                if postings is None:
+                    postings = self.build_postings(store)
+                    store._host_postings = postings
                 lines += self._find_matches_host(
-                    ("host", getattr(store, "_host_postings", None)
-                     or self.build_postings(store), store),
+                    ("host", postings, store),
                     queries, batch.astype(np.int64), to_self)
                 continue
+            self.stats["elements_processed"] += int(st_np[1])
+            self.stats["sequences_hit"] += int(st_np[2])
             lines += self._score_wide(queries, store, pq, pc, total,
                                       np.zeros(0, np.int32), set())
         return lines

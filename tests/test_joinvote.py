@@ -47,7 +47,10 @@ def test_wide_query_mode_matches_host():
 
 def test_wide_repeat_heavy_residuals():
     """Repeat-seeded genome: deep posting runs exercise the residual
-    gather and (for monsters) the host-fallback row set."""
+    gather and (for monsters) the direct-vote fallback.  The spy PINS
+    the fallback coverage: if dataset tuning ever stops producing
+    monster queries, the exact direct path would silently lose its only
+    end-to-end exercise."""
     genome = B.repeat_seeded_genome(16000, seed=9, repeat_len=900,
                                     n_copies=12)
     reads, _, _ = B.make_reads_placed(220, seed=9, lognormal=False,
@@ -55,8 +58,25 @@ def test_wide_repeat_heavy_residuals():
     ref = TpuOverlapper()
     ref.device_vote = False
     expect = ref.overlap_self(reads)
-    got = _wide().overlap_self(reads)
+    ov = _wide()
+    called = {"direct": 0}
+    orig = ov._find_matches_direct
+
+    def spy(*a, **k):
+        called["direct"] += 1
+        return orig(*a, **k)
+
+    ov._find_matches_direct = spy
+    got = ov.overlap_self(reads)
     assert set(got) == set(expect)
+    assert called["direct"] > 0
+    # CLI final stats of the fallback-heavy run must match the exact
+    # host path's accounting (fallback queries counted exactly once)
+    ref_stats = ref.stats
+    for key in ("matches_processed", "sequences_searched",
+                "sequences_fully_compared", "elements_processed",
+                "sequences_hit"):
+        assert ov.stats[key] == ref_stats[key], (key, ov.stats, ref_stats)
 
 
 def test_wide_respects_min_store_length_guard():
@@ -64,8 +84,9 @@ def test_wide_respects_min_store_length_guard():
     assumes the default): the dispatcher falls back."""
     reads = _mk(n_reads=120, seed=7)
     ov = _wide(cfg=dict(min_store_length=600))
+    # the guard is config-driven: msl != 0 refuses regardless of store
     assert not ov._wide_path_ok(object.__new__(type("S", (), {})), None,
-                               True) or True  # guard is config-driven
+                                True)
     ref = TpuOverlapper(cfg=dict(min_store_length=600))
     ref.device_vote = False
     expect = ref.overlap_self(reads)
