@@ -98,6 +98,10 @@ class ShardedOverlapper(TpuOverlapper):
     (pipeline/overlapper._find_matches: ``header_id > 0`` guard).
     """
 
+    # filtered runs keep the host weighting flow under the mesh (the
+    # shard_map sketch stages don't carry the filter tables yet)
+    FILTER_DEVICE = False
+
     def __init__(self, mesh: Mesh, cfg=None, axis: str = "d", **kw):
         super().__init__(cfg, **kw)
         self.mesh = mesh

@@ -85,6 +85,67 @@ class VectorFrequencyFilter:
             out[~self._valid_member(h)] = 1.0
         return out
 
+    # ---- device-resident weighting (pipeline/overlapper.py filtered
+    # sketch flow) ----
+    #
+    # The weight of a k-mer depends only on (is it a file k-mer -> which
+    # one, occurrence count): max(1, round(tf(count) * scaledIdf(key)))
+    # in tf-idf mode, 1/0 by popularity in legacy mode
+    # (MinHashSketch.java:95-128).  The filter table is tiny (the file's
+    # over-cutoff k-mers), so the WHOLE weight function is a [K+2, CMAX]
+    # int32 lookup table computed here in float64 (bit-identical Java
+    # double semantics) and gathered on device by (matched table index,
+    # clipped count).  Rows: 0..K-1 = file k-mers in (hi, lo) sort
+    # order; K = the never-matching pad entry (same weights as a miss);
+    # K+1 = miss (not a file k-mer).
+
+    def device_tables(self, repeat_weight: float, cmax: int = 128):
+        """Sorted match table + weight LUT for the device sketch path.
+
+        Returns dict(t_hi, t_lo [K+1] uint32, wlut [(K+2)*cmax] int32
+        flat, W static window, cmax, counts_matter) or None when the
+        mode needs per-key host machinery (remove_unique 1/2 consult
+        the valid-mer set/bloom per k-mer; tf mode >= 1.0 is weight ==
+        count, i.e. the plain unfiltered kernel).
+        """
+        if self.remove_unique != 0:
+            return None
+        if repeat_weight >= 1.0:
+            return None  # weight == count: identical to the plain path
+        keys = self.frac_keys  # u64, ascending == (hi, lo) lex order
+        K = len(keys)
+        t_hi = (keys >> np.uint64(32)).astype(np.uint32)
+        t_lo = (keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        # pad entry: all-ones key; a real k-mer hashing to it would
+        # harmlessly read the pad row, which carries MISS weights
+        t_hi = np.concatenate([t_hi, [np.uint32(0xFFFFFFFF)]])
+        t_lo = np.concatenate([t_lo, [np.uint32(0xFFFFFFFF)]])
+        # match window: max run of equal hi halves in the sorted table
+        if K:
+            runs = np.diff(np.nonzero(np.concatenate(
+                [[True], t_hi[1:K] != t_hi[:K - 1], [True]]))[0])
+            W = int(runs.max())
+        else:
+            W = 1
+        counts = np.arange(1, cmax + 1, dtype=np.float64)
+        wlut = np.empty((K + 2, cmax), np.int64)
+        if repeat_weight < 0.0:
+            # legacy: weight 1, popular (= file k-mer) -> 0
+            wlut[:K] = 0
+            wlut[K:] = 1
+            counts_matter = False
+        else:
+            tf = np.ones_like(counts) if self.no_tf else counts
+            sidf = np.concatenate(
+                [self.frac_sidf, [float(self.range)] * 2])
+            prod = tf[None, :] * sidf[:, None]     # Java double multiply
+            wlut[:] = np.maximum(1, np.floor(prod + 0.5).astype(np.int64))
+            counts_matter = not self.no_tf
+        return dict(t_hi=t_hi, t_lo=t_lo,
+                    wlut=np.minimum(wlut, np.iinfo(np.int32).max)
+                    .astype(np.int32).reshape(-1),
+                    W=W, cmax=cmax, counts_matter=counts_matter)
+
     def weights(self, keys: np.ndarray, counts: np.ndarray,
                 repeat_weight: float) -> np.ndarray:
         """Integer weights per unique k-mer (MinHashSketch.java:95-128)."""

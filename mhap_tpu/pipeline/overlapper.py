@@ -99,6 +99,28 @@ def _rc_codes(codes: np.ndarray) -> np.ndarray:
 # weights beyond ESC_INKERNEL[1] (or rows past the budget).
 ESC_INKERNEL = (16, 4)
 
+# max_w sentinel: a k-mer's occurrence count exceeded the weight-LUT's
+# CMAX columns, so the row's exact tf-idf weight is unknown on device --
+# the host filtered path recomputes it (device caps cannot fix it)
+W_SENT = 1 << 20
+
+
+def _filter_match(hi, lo, t_hi, t_lo, W: int):
+    """Device tf-idf table probe: index of each 64-bit k-mer hash in the
+    sorted filter table ([K+1] uint32 halves, ascending (hi, lo) with a
+    trailing never-matching pad), or K+1 for a miss.  ``W`` (static) is
+    the longest equal-hi run in the table, so a searchsorted on the hi
+    halves plus a W-wide linear probe finds any (hi, lo) exactly
+    (FrequencyCounts.java:267 fraction-map probe, vectorized)."""
+    Kp = t_hi.shape[0]  # K + 1 (incl. pad)
+    a = jnp.searchsorted(t_hi, hi).astype(jnp.int32)
+    m = jnp.full(hi.shape, Kp, jnp.int32)  # miss row
+    for j in range(W):
+        idx = jnp.minimum(a + j, Kp - 1)
+        hit = (t_hi[idx] == hi) & (t_lo[idx] == lo) & (m == Kp)
+        m = jnp.where(hit, idx, m)
+    return m
+
 
 class OptimisticSketchMiss(Exception):
     """Deferred-flags sketch found a zero-ngram row or weight escalation
@@ -220,7 +242,8 @@ def _decode_2bit_pair(packed, L: int):
     return _v_to_ascii(v), _v_to_ascii(jnp.flip(jnp.uint8(3) - v, axis=1))
 
 
-def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None):
+def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None, filt=None,
+                 filt_meta=None):
     """Whole sketch chunk: hash128 -> weighted min-reduce; hash32 ->
     bottom-k.  All outputs stay on device.
 
@@ -256,7 +279,30 @@ def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None):
         valid1 = ((pos1 >= start[:, None])
                   & (pos1 < (start + lens)[:, None] - k1 + 1))
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
-    if w_cap == 1:
+    if filt is not None:
+        # device tf-idf/legacy weighting: dedup sort, one table probe,
+        # one weight-LUT gather (exact float64 weights precomputed host
+        # side per (table row, count) -- freqfilter.device_tables);
+        # counts beyond the LUT's CMAX flag the row with W_SENT for the
+        # host filtered path (sketch/MinHashSketch.java:95-128 weights,
+        # FrequencyCounts.java:290-311 scaledIdf)
+        t_hi, t_lo, wlut = filt
+        W, CMAX, counts_matter = filt_meta
+        g = _minhash.sort_and_count(hi, lo, valid1)
+        m = _filter_match(g["hi"], g["lo"], t_hi, t_lo, W)
+        cidx = jnp.clip(g["count"], 1, CMAX) - 1
+        w = wlut[m * CMAX + cidx]
+        w = jnp.where(g["first"], w, 0)
+        active = g["first"] & (w > 0)
+        n_valid = jnp.sum(active, axis=1).astype(jnp.int32)
+        max_w = jnp.max(jnp.where(active, w, 0), axis=1)
+        if counts_matter:
+            over = jnp.any(g["first"] & (g["count"] > CMAX), axis=1)
+            max_w = jnp.where(over, jnp.int32(W_SENT), max_w)
+        sketch = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap),
+                             active, g["tiebreak"], num_hashes=H,
+                             w_max=w_cap)
+    elif w_cap == 1:
         B, n = hi.shape
         dup = _minhash.dup_rows(hi, lo, valid1)
         n_valid = jnp.sum(valid1, axis=1).astype(jnp.int32)
@@ -309,14 +355,17 @@ def _sketch_core(seq, lens, k1, k2, H, S, w_cap, start=None):
                 ordered_h=oh, ordered_p=op, ordered_m=om)
 
 
-@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap", "R"))
-def _sketch_packed_jit(packed, lens, start, k1, k2, H, S, w_cap, R):
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap", "R",
+                                   "filt_meta"))
+def _sketch_packed_jit(packed, lens, start, k1, k2, H, S, w_cap, R,
+                       filt=None, filt_meta=None):
     """Sketch R rows of a device-resident 2-bit-packed bucket starting at
     row ``start`` (traced: one compile per bucket shape, not per chunk)."""
     pr = jax.lax.dynamic_slice(packed, (start, 0), (R, packed.shape[1]))
     lr = jax.lax.dynamic_slice(lens, (start,), (R,))
     seq = _decode_2bit(pr, packed.shape[1] * 4)
-    return _sketch_core(seq, lr, k1, k2, H, S, w_cap)
+    return _sketch_core(seq, lr, k1, k2, H, S, w_cap, filt=filt,
+                        filt_meta=filt_meta)
 
 
 def _interleave_rc(packed_rows, lens_rows):
@@ -336,8 +385,10 @@ def _interleave_rc(packed_rows, lens_rows):
     return seq, lens2, start
 
 
-@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap", "R2"))
-def _sketch_packed_rc_jit(packed, lens, row0, k1, k2, H, S, w_cap, R2):
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap", "R2",
+                                   "filt_meta"))
+def _sketch_packed_rc_jit(packed, lens, row0, k1, k2, H, S, w_cap, R2,
+                          filt=None, filt_meta=None):
     """Sketch R2 packed FWD rows starting at ``row0`` into 2*R2 output
     rows: each forward strand (pushed right-aligned) is paired with its
     reverse complement derived on device -- the host never materializes
@@ -346,11 +397,13 @@ def _sketch_packed_rc_jit(packed, lens, row0, k1, k2, H, S, w_cap, R2):
     pr = jax.lax.dynamic_slice(packed, (row0, 0), (R2, packed.shape[1]))
     lr = jax.lax.dynamic_slice(lens, (row0,), (R2,))
     seq, lens2, start = _interleave_rc(pr, lr)
-    return _sketch_core(seq, lens2, k1, k2, H, S, w_cap, start=start)
+    return _sketch_core(seq, lens2, k1, k2, H, S, w_cap, start=start,
+                        filt=filt, filt_meta=filt_meta)
 
 
-@partial(jax.jit, static_argnames=("k1", "H", "w_cap"))
-def _sketch_minhash_codes_jit(seq, lr, k1, H, w_cap):
+@partial(jax.jit, static_argnames=("k1", "H", "w_cap", "filt_meta"))
+def _sketch_minhash_codes_jit(seq, lr, k1, H, w_cap, filt=None,
+                              filt_meta=None):
     """Stage-1 sketch ONLY, over raw ASCII code rows at a higher weight
     cap -- the host escalation path (rows whose max k-mer occurrence
     count exceeds the in-kernel rung's cap).  Skips the bottom-k and
@@ -361,18 +414,32 @@ def _sketch_minhash_codes_jit(seq, lr, k1, H, w_cap):
     valid1 = jnp.arange(n1)[None, :] < (lr[:, None] - k1 + 1)
     hi, lo = _murmur3.kmer_hashes_128(seq, k1, 0)
     g = _minhash.sort_and_count(hi, lo, valid1)
-    w = jnp.where(g["first"], g["count"], 0)
+    if filt is not None:
+        t_hi, t_lo, wlut = filt
+        W, CMAX, counts_matter = filt_meta
+        m = _filter_match(g["hi"], g["lo"], t_hi, t_lo, W)
+        cidx = jnp.clip(g["count"], 1, CMAX) - 1
+        w = wlut[m * CMAX + cidx]
+    else:
+        w = g["count"]
+    w = jnp.where(g["first"], w, 0)
     active = g["first"] & (w > 0)
     max_w = jnp.max(jnp.where(active, w, 0), axis=1)
+    if filt is not None and filt_meta[2]:
+        over = jnp.any(g["first"] & (g["count"] > filt_meta[1]), axis=1)
+        max_w = jnp.where(over, jnp.int32(W_SENT), max_w)
     mh = _min_reduce(g["hi"], g["lo"], jnp.minimum(w, w_cap), active,
                      g["tiebreak"], num_hashes=H, w_max=w_cap)
     return mh, max_w
 
 
-@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap"))
-def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap):
+@partial(jax.jit, static_argnames=("k1", "k2", "H", "S", "w_cap",
+                                   "filt_meta"))
+def _sketch_fused_jit(seq, lens, k1, k2, H, S, w_cap, filt=None,
+                      filt_meta=None):
     """uint8 ASCII variant (irregular/non-ACGT rows, filter path)."""
-    out = _sketch_core(seq, lens, k1, k2, H, S, w_cap)
+    out = _sketch_core(seq, lens, k1, k2, H, S, w_cap, filt=filt,
+                       filt_meta=filt_meta)
     return (out["minhash"], out["n_valid"], out["max_w"],
             out["ordered_h"], out["ordered_p"], out["ordered_m"])
 
@@ -398,6 +465,15 @@ def _gather_cols_jit(mh, oh, op, om, pos):
 class TpuOverlapper:
     """Single-chip overlapper. Multi-chip sharding lives in parallel/."""
 
+    # device-resident filtered sketching (tf-idf/legacy weight modes);
+    # the sharded subclass keeps the host filter flow for now
+    FILTER_DEVICE = True
+    # weight-cap ladder for the filtered kernels: tf-idf weights are
+    # ~range x count (range default 3.0), so the base rung sits at 16
+    # (covers counts <= 5 at the default scale) instead of the plain
+    # path's w=1 fast rung
+    W_CAPS_FILT = (16, 64, 256, 1024)
+
     def __init__(self, cfg=None, w_caps=(1, 16, 128, 512),
                  pair_chunk: int = 512, kmer_filter=None):
         self.cfg = dict(DEFAULTS)
@@ -406,6 +482,7 @@ class TpuOverlapper:
         self.w_caps = tuple(w_caps)
         self.pair_chunk = pair_chunk
         self.kmer_filter = kmer_filter  # VectorFrequencyFilter or None
+        self._filt_dev = "unset"  # lazy device filter tables (or None)
         # record capacity 1024 < 2S: shrinks the shift-median/optimize sort
         # widths; the rare overflowing lanes (near-duplicate reads) re-run
         # exactly on the host oracle via needs_slow
@@ -433,6 +510,38 @@ class TpuOverlapper:
                           minhash_search_time=0.0, sort_merge_time=0.0)
 
     # ---------------- sketching ----------------
+
+    def _filter_device(self):
+        """Device filter tables (freqfilter.device_tables) for the
+        current filter + weight mode, or None when the mode needs the
+        host flow (remove_unique 1/2) / no tables (tf mode, no filter).
+        Returns ((t_hi, t_lo, wlut_flat) device arrays,
+        (W, CMAX, counts_matter) static meta) or None."""
+        if self._filt_dev != "unset":
+            return self._filt_dev
+        out = None
+        if self.kmer_filter is not None and self.FILTER_DEVICE:
+            t = self.kmer_filter.device_tables(
+                float(self.cfg["repeat_weight"]))
+            if t is not None:
+                out = ((jnp.asarray(t["t_hi"]), jnp.asarray(t["t_lo"]),
+                        jnp.asarray(t["wlut"])),
+                       (t["W"], t["cmax"], t["counts_matter"]))
+        self._filt_dev = out
+        return out
+
+    def _filt_kw(self) -> dict:
+        fd = self._filter_device()
+        return dict(filt=fd[0], filt_meta=fd[1]) if fd is not None else {}
+
+    def _caps_thresh(self):
+        """(weight-cap ladder, escalation threshold) for the active
+        sketch mode.  Plain: base rung w=1 with the in-kernel ESC_W
+        escalation; filtered: the W_CAPS_FILT ladder (exact max_w from
+        the weight LUT, no in-kernel rung)."""
+        if self._filter_device() is not None:
+            return self.W_CAPS_FILT, self.W_CAPS_FILT[0]
+        return self.w_caps, ESC_INKERNEL[1]
 
     def _sketch_batch(self, codes: np.ndarray, lens: np.ndarray):
         """codes: [B, L] uint8 (padded). Returns host numpy arrays
@@ -534,6 +643,26 @@ class TpuOverlapper:
             jnp.asarray(active), jnp.asarray(order),
             num_hashes=H, w_max=w_max)
         return np.asarray(mh), nv > 0
+
+    def _sketch_rows_host_filt(self, codes_list) -> np.ndarray:
+        """Exact host filtered stage-1 sketch of a few code rows (the
+        device flow's escape hatch when a k-mer count exceeds the weight
+        LUT's CMAX): device hashing + the host float64 weight machinery
+        (_minhash_filtered).  Returns the [n, H] minhash (numpy)."""
+        cfg = self.cfg
+        k1 = cfg["kmer_size"]
+        L = _bucket_len(max(len(cd) for cd in codes_list))
+        n = len(codes_list)
+        sub = np.zeros((n, L), np.uint8)
+        sl = np.zeros(n, np.int32)
+        for t, cd in enumerate(codes_list):
+            sub[t, :len(cd)] = cd
+            sl[t] = len(cd)
+        hi, lo = _sketch_hash128_jit(jnp.asarray(sub), k1)
+        n1 = L - k1 + 1
+        valid = np.arange(n1)[None, :] < (sl[:, None] - k1 + 1)
+        mh, _nv = self._minhash_filtered(hi, lo, valid)
+        return mh
 
     # reads longer than this stream through the windowed sketcher instead
     # of the dense length-bucketed batch (padding/bucket-explosion control;
@@ -646,7 +775,8 @@ class TpuOverlapper:
         return _sketch_packed_jit(handle[0], handle[1], s,
                                   cfg["kmer_size"], cfg["ordered_kmer_size"],
                                   cfg["num_hashes"],
-                                  cfg["ordered_sketch_size"], cap, R)
+                                  cfg["ordered_sketch_size"], cap, R,
+                                  **self._filt_kw())
 
     def _sketch_chunk_rc(self, handle, s: int, cap: int, R2: int):
         """R2 packed fwd rows at bucket row ``s`` -> 2*R2 interleaved
@@ -656,7 +786,8 @@ class TpuOverlapper:
                                      cfg["kmer_size"],
                                      cfg["ordered_kmer_size"],
                                      cfg["num_hashes"],
-                                     cfg["ordered_sketch_size"], cap, R2)
+                                     cfg["ordered_sketch_size"], cap, R2,
+                                     **self._filt_kw())
 
     MINHASH_ROWQ = 64  # row quantum for the escalation codes kernel
 
@@ -679,7 +810,8 @@ class TpuOverlapper:
         mh, mw = _sketch_minhash_codes_jit(jnp.asarray(sub),
                                            jnp.asarray(sl),
                                            cfg["kmer_size"],
-                                           cfg["num_hashes"], cap)
+                                           cfg["num_hashes"], cap,
+                                           **self._filt_kw())
         return mh[:n], np.asarray(mw)[:n]
 
     def _sketch_chunk_u8(self, sub, sl, cap: int):
@@ -687,7 +819,8 @@ class TpuOverlapper:
         o = _sketch_fused_jit(jnp.asarray(sub), jnp.asarray(sl),
                               cfg["kmer_size"],
                               cfg["ordered_kmer_size"], cfg["num_hashes"],
-                              cfg["ordered_sketch_size"], cap)
+                              cfg["ordered_sketch_size"], cap,
+                              **self._filt_kw())
         return dict(zip(("minhash", "n_valid", "max_w", "ordered_h",
                          "ordered_p", "ordered_m"), o))
 
@@ -698,6 +831,15 @@ class TpuOverlapper:
         (SequenceSketchStreamer.java:123-177: drop < minOlapLength, skip
         zero-ngram reads; ids keep counting across dropped reads)."""
         cfg = self.cfg
+        # filtered runs take the device flow too when the weight mode has
+        # device tables (tf-idf / legacy at remove_unique 0 -- the
+        # default and the reference's documented repeat regime); the
+        # remove_unique 1/2 modes keep the host flow (per-k-mer
+        # valid-set/bloom probes)
+        host_flow = (self.kmer_filter is not None
+                     and self._filter_device() is None
+                     and not (self.cfg["repeat_weight"] >= 1.0
+                              and self.kmer_filter.remove_unique == 0))
         entries = []  # (header_id, is_fwd, header, codes)
         for i, r in enumerate(reads):
             hid = i + 1 + offset
@@ -712,10 +854,8 @@ class TpuOverlapper:
                 # (_sketch_packed_rc_jit); the host filter path needs the
                 # real bytes
                 entries.append((hid, False, hdr,
-                                _rc_codes(codes)
-                                if self.kmer_filter is not None
-                                else codes))
-        if self.kmer_filter is not None:
+                                _rc_codes(codes) if host_flow else codes))
+        if host_flow:
             return self._sketch_entries_host(entries, do_rc)
         return self._sketch_entries_device(entries, do_rc,
                                            defer=defer_flags)
@@ -755,6 +895,7 @@ class TpuOverlapper:
         H, S = cfg["num_hashes"], cfg["ordered_sketch_size"]
         ROWS = self.ROWS
         N = len(entries)
+        caps, esc_thresh = self._caps_thresh()
 
         # step 2 = rc-paired scheme: entries alternate (fwd, rc) with the
         # rc entry sharing the fwd byte array; only forward strands are
@@ -826,14 +967,14 @@ class TpuOverlapper:
                     row_idx[2 * r + 1] = j + 1
             for s in range(0, nb_pad, R_in):
                 if step == 2:
-                    out = self._sketch_chunk_rc(handle, s, self.w_caps[0],
+                    out = self._sketch_chunk_rc(handle, s, caps[0],
                                                 R_in)
                     c = dict(
                         out=out, idxs=row_idx[2 * s:2 * s + ROWS],
                         redo=lambda cap, handle=handle, s=s:
                             self._sketch_chunk_rc(handle, s, cap, R_in))
                 else:
-                    out = self._sketch_chunk(handle, s, self.w_caps[0],
+                    out = self._sketch_chunk(handle, s, caps[0],
                                              ROWS)
                     c = dict(
                         out=out, idxs=row_idx[s:s + ROWS],
@@ -863,7 +1004,7 @@ class TpuOverlapper:
                         sl[t] = len(rcc)
                         ridx[t] = j + 1
                         t += 1
-                out = self._sketch_chunk_u8(sub, sl, self.w_caps[0])
+                out = self._sketch_chunk_u8(sub, sl, caps[0])
                 chunks.append(dict(
                     out=out, idxs=ridx,
                     redo=lambda cap, sub=sub, sl=sl:
@@ -914,7 +1055,7 @@ class TpuOverlapper:
 
         def chunk_redo(c, need):
             real = c["idxs"] >= 0
-            for cap in self.w_caps[1:]:
+            for cap in caps[1:]:
                 if cap < need:
                     continue
                 c["out"] = c["redo"](cap)
@@ -923,19 +1064,41 @@ class TpuOverlapper:
                 if need <= cap:
                     return
             raise RuntimeError(
-                f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+                f"k-mer weight exceeds largest cap {caps[-1]}")
 
         items = []  # (chunk, chunk-local row, entry index)
+        sent_items = []  # filtered rows with a count beyond the LUT CMAX
         for c in chunks:
             real = c["idxs"] >= 0
-            for r in np.nonzero(real & (c["mw"] > ESC_INKERNEL[1]))[0]:
-                items.append((c, int(r), int(c["idxs"][r])))
+            for r in np.nonzero(real & (c["mw"] > esc_thresh))[0]:
+                if int(c["mw"][r]) >= W_SENT:
+                    sent_items.append((c, int(r), int(c["idxs"][r])))
+                else:
+                    items.append((c, int(r), int(c["idxs"][r])))
+        if sent_items:
+            # a k-mer count exceeded the device weight LUT: the exact
+            # tf-idf weight needs the host float64 path for these rows
+            # (rare: low-complexity reads with >CMAX copies of a k-mer)
+            codes_list = []
+            for c, r, j in sent_items:
+                e = entries[j]
+                codes_list.append(e[3] if e[1] else _rc_codes(e[3]))
+            new_mh = self._sketch_rows_host_filt(codes_list)
+            per_chunk: dict = {}
+            for t, (c, r, _) in enumerate(sent_items):
+                per_chunk.setdefault(id(c), (c, []))[1].append((r, t))
+            for c, pairs in per_chunk.values():
+                c["out"] = dict(c["out"])
+                loc = jnp.asarray([p[0] for p in pairs])
+                sel = np.asarray([p[1] for p in pairs])
+                c["out"]["minhash"] = c["out"]["minhash"].at[loc].set(
+                    jnp.asarray(new_mh[sel]))
         if items:
             need = max(int(c["mw"][r]) for c, r, _ in items)
             pend = np.arange(len(items))
             mutated: set = set()
             unsupported = resolved = False
-            for cap in self.w_caps[1:]:
+            for cap in caps[1:]:
                 if cap < need:
                     continue
                 codes_list = []
@@ -970,11 +1133,11 @@ class TpuOverlapper:
                 for c in {id(i[0]): i[0] for i in items}.values():
                     real = c["idxs"] >= 0
                     nd = int(c["mw"][real].max()) if real.any() else 0
-                    if nd > ESC_INKERNEL[1]:
+                    if nd > esc_thresh:
                         chunk_redo(c, nd)
             elif not resolved:
                 raise RuntimeError(
-                    f"k-mer weight exceeds largest cap {self.w_caps[-1]}")
+                    f"k-mer weight exceeds largest cap {caps[-1]}")
 
         # entry -> concat position (irregular rows override packed rows)
         pos_of = np.full(N, -1, np.int64)
@@ -1055,7 +1218,8 @@ class TpuOverlapper:
                                          select_row)
         if deferred_flags is not None:
             real_mask = np.concatenate([c["idxs"] >= 0 for c in chunks])
-            out_store._pending_flags = (deferred_flags, real_mask)
+            out_store._pending_flags = (deferred_flags, real_mask,
+                                        esc_thresh)
         # the chunk closures pin every per-chunk sketch column AND the
         # packed read buckets on device; by now the store has gathered
         # its own columns, and keeping them doubles sketch HBM (the
@@ -2317,12 +2481,12 @@ class TpuOverlapper:
         pending = getattr(store, "_pending_flags", None)
         if pending is None:
             return
-        flags_dev, real_mask = pending
+        flags_dev, real_mask, esc_thresh = pending
         flags = np.asarray(flags_dev)
         store._pending_flags = None
         nv, mw = flags[0], flags[1]
         if (nv[real_mask] <= 0).any() or \
-                (mw[real_mask] > ESC_INKERNEL[1]).any():
+                (mw[real_mask] > esc_thresh).any():
             raise OptimisticSketchMiss
 
     def overlap_self(self, reads: list[str], headers=None) -> list[str]:
