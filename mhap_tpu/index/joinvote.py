@@ -393,7 +393,7 @@ class JoinedIndex:
 
 
 @partial(jax.jit, static_argnames=("mm", "to_self", "p_cap"))
-def vote_chunk(cand_slice, q_store_rows, q_valid, *, mm: int,
+def vote_chunk(cand_slice, q_store_rows, q_valid, hid=None, *, mm: int,
                to_self: bool, p_cap: int):
     """Stage C for one query chunk.
 
@@ -402,7 +402,11 @@ def vote_chunk(cand_slice, q_store_rows, q_valid, *, mm: int,
     Suppression at minStoreLength=0 reduces to a row compare: store rows
     are header-ordered with the query's own fwd row first, so keeping
     hid_c < hid_q is exactly cand_row < query_row
-    (MinHashSearch.java:199-225).
+    (MinHashSearch.java:199-225).  ``hid`` ([N] i32 header ids, 0 =
+    padding row) switches to explicit header-id suppression for stores
+    that are NOT header-ordered / have padding rows (the sharded
+    keep-in-place store): keep hid_c > 0, and hid_c < hid_q in self
+    mode -- one extra gather, same semantics.
 
     Returns (pairs_q [p_cap] i32 store rows, pairs_c [p_cap] i32,
     stats [4, QC]: hits-mass is tracked by the caller; rows are
@@ -425,7 +429,13 @@ def vote_chunk(cand_slice, q_store_rows, q_valid, *, mm: int,
 
     votes = jnp.where(new_run & (run_len >= mm), run_len, 0)
     sid = s.astype(I32)
-    if to_self:
+    if hid is not None:
+        hid_c = hid[jnp.clip(sid, 0, hid.shape[0] - 1)]
+        votes = jnp.where(hid_c > 0, votes, 0)
+        if to_self:
+            hid_q = hid[jnp.clip(q_store_rows, 0, hid.shape[0] - 1)]
+            votes = jnp.where(hid_c < hid_q[:, None], votes, 0)
+    elif to_self:
         votes = jnp.where(sid < q_store_rows[:, None], votes, 0)
     votes = jnp.where(q_valid[:, None], votes, 0)
     # votes <= H (a candidate posts once per band), so 10 bits suffice
@@ -467,7 +477,8 @@ DIRECT_PAIR_CAP = 1 << 17
 
 
 @partial(jax.jit, static_argnames=("mm", "to_self"))
-def direct_vote(store_mh, query_mh, rows, *, mm: int, to_self: bool):
+def direct_vote(store_mh, query_mh, rows, hid=None, *, mm: int,
+                to_self: bool):
     """EXACT uncapped vote for a batch of queries, no postings needed:
     votes[c] = #bands where store_mh[c, h] == q[h] -- definitionally
     what the LSH run-length vote computes (MinHashSearch.java:149-178),
@@ -486,11 +497,18 @@ def direct_vote(store_mh, query_mh, rows, *, mm: int, to_self: bool):
     votes = jnp.sum((store_mh[None, :, :] == q[:, None, :]),
                     axis=-1, dtype=I32)                          # [B, N]
     votes = jnp.where(valid[:, None], votes, 0)
+    if hid is not None:
+        votes = jnp.where(hid[None, :] > 0, votes, 0)
     hits = jnp.sum(votes)
     distinct = jnp.sum(votes > 0)
     keep = votes >= mm
     crow = jnp.broadcast_to(jnp.arange(N, dtype=I32)[None], (B, N))
-    if to_self:
+    if hid is not None:
+        if to_self:
+            # keep-in-place stores: explicit header-id suppression
+            hid_q = hid[jnp.clip(rows, 0, hid.shape[0] - 1)]
+            keep &= hid[None, :] < hid_q[:, None]
+    elif to_self:
         # suppression at default minStoreLength reduces to a row
         # compare (store rows are header-ordered; see vote_chunk)
         keep &= crow < rows[:, None]

@@ -287,7 +287,10 @@ class ShardedOverlapper(TpuOverlapper):
                 # pad rows to a mesh multiple (header_id 0 rows)
                 store = _pad_store(store, self.D)
             fn = self._index_stage(len(store))
-            vals, sids, mh_t = fn(store.dev("minhash"))
+            hid32 = np.minimum(store.header_id,
+                               np.iinfo(np.int32).max).astype(np.int32)
+            vals, sids, mh_t = fn(store.dev("minhash"),
+                                  self._put_sharded(hid32))
             store._dev_postings = (vals, sids, mh_t)
         return ("shard", store._dev_postings, store)
 
@@ -299,11 +302,17 @@ class ShardedOverlapper(TpuOverlapper):
 
             @jax.jit
             @partial(jax.shard_map, mesh=self.mesh,
-                     in_specs=(P(axis),),
+                     in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis, None), P(axis, None),
                                 P(None, axis)),
                      check_vma=False)
-            def f(mh):  # [b, H] local rows
+            def f(mh, hid):  # [b, H], [b] local rows
+                # padding / dropped rows carry garbage sketch values;
+                # pin them to the INT32_MAX sentinel so they cluster at
+                # the end of every band's postings instead of polluting
+                # real runs (the vote masks them by header id anyway)
+                mh = jnp.where((hid > 0)[:, None], mh,
+                               jnp.int32(0x7FFFFFFF))
                 mh_t = jax.lax.all_to_all(mh, axis, split_axis=1,
                                           concat_axis=0, tiled=True)
                 # mh_t: [B, Hl] -- all reads' values for my bands
@@ -316,6 +325,35 @@ class ShardedOverlapper(TpuOverlapper):
 
             self._stages[key] = fn = f
         return fn
+
+    # ---------------- join-once wide vote under the mesh ----------------
+    #
+    # The single-chip wide driver (pipeline/overlapper._find_matches_wide)
+    # runs UNCHANGED on the sharded backend: every joinvote stage is
+    # data-parallel along either the band axis (stage A/B sorts and
+    # cummaxes run along dim 1 of band-major arrays) or the query axis
+    # (stage C), so GSPMD partitions the very same jitted programs across
+    # the mesh from the band-sharded postings the index stage already
+    # produces.  The only semantic difference is suppression: the
+    # keep-in-place store is neither header-ordered nor padding-free, so
+    # the vote gathers header ids (_wide_hid) instead of comparing row
+    # numbers (joinvote.vote_chunk hid mode).
+
+    def _wide_path_ok(self, store, queries, to_self) -> bool:
+        # padding rows are fine here (hid suppression); multi-process
+        # runs keep the chunked narrow path: the wide driver is a
+        # single-controller loop with direct np.asarray pulls
+        return (int(self.cfg["min_store_length"]) == 0
+                and not self._multiprocess
+                and len(store) < (1 << 21))
+
+    def _wide_hid(self, store):
+        h = getattr(store, "_hid_dev", None)
+        if h is None:
+            hid32 = np.minimum(store.header_id,
+                               np.iinfo(np.int32).max).astype(np.int32)
+            h = store._hid_dev = self._put_rep(hid32)
+        return h
 
     VOTE_CHUNK = 2048
 

@@ -2105,7 +2105,7 @@ class TpuOverlapper:
             return []
         store = index[2]  # candidate row ids refer to the index's store
         self.stats["sequences_searched"] += len(q_sel)
-        if index[0] == "dev":
+        if index[0] in ("dev", "shard"):
             if (len(store) >= self.WIDE_STORE_MIN
                     and self._wide_path_ok(store, queries, to_self)):
                 # bound device memory by processing queries in slabs
@@ -2128,7 +2128,9 @@ class TpuOverlapper:
                     lines += self._find_matches_wide(
                         index, queries, part, to_self)
                 return lines
-            return self._find_matches_device(index, queries, q_sel, to_self)
+            if index[0] == "dev":
+                return self._find_matches_device(index, queries, q_sel,
+                                                 to_self)
         return self._find_matches_host(index, queries, q_sel, to_self)
 
     # queries per wide-path slab: keeps the [slab, H*span] candidate
@@ -2142,6 +2144,13 @@ class TpuOverlapper:
         return (int(self.cfg["min_store_length"]) == 0
                 and store.n_real == len(store)
                 and len(store) < (1 << 21))
+
+    def _wide_hid(self, store):
+        """Device header-id column for the wide vote's suppression, or
+        None when the store is header-ordered without padding rows (the
+        single-chip case: a pure row compare needs no gathers).  The
+        sharded keep-in-place store overrides this."""
+        return None
 
     def _find_matches_wide(self, index, queries: SketchStore,
                            q_sel: np.ndarray, to_self: bool) -> list[str]:
@@ -2189,12 +2198,13 @@ class TpuOverlapper:
 
         p_cap = 32 * Qc
         rows_pad = q_sel
+        hid_dev = self._wide_hid(store)
         pairs_q, pairs_c, stats_parts = [], [], []
         for ci in range(n_chunks):
             sl = jax.lax.dynamic_slice_in_dim(cand, ci * Qc, Qc, axis=0)
             rows_dev = jnp.asarray(rows_pad[ci * Qc:(ci + 1) * Qc])
             valid = jnp.asarray(rows_pad[ci * Qc:(ci + 1) * Qc] >= 0)
-            pq, pc, st = JV.vote_chunk(sl, rows_dev, valid, mm=mm,
+            pq, pc, st = JV.vote_chunk(sl, rows_dev, valid, hid_dev, mm=mm,
                                        to_self=bool(to_self), p_cap=p_cap)
             pairs_q.append(pq)
             pairs_c.append(pc)
@@ -2272,6 +2282,7 @@ class TpuOverlapper:
         mh_c = store.dev("minhash")
         mh_q = queries.dev("minhash")
         mm = self.cfg["num_min_matches"]
+        hid_dev = self._wide_hid(store)
         lines: list[str] = []
         B = JV.DIRECT_NQ
         for s in range(0, len(q_rows), B):
@@ -2279,7 +2290,8 @@ class TpuOverlapper:
             rows = np.full(B, -1, np.int32)
             rows[:len(batch)] = batch
             pq, pc, st = JV.direct_vote(mh_c, mh_q, jnp.asarray(rows),
-                                        mm=mm, to_self=bool(to_self))
+                                        hid_dev, mm=mm,
+                                        to_self=bool(to_self))
             st_np = np.asarray(st)
             total = int(st_np[0])
             if total > min(JV.DIRECT_PAIR_CAP, B * len(store)):

@@ -59,3 +59,52 @@ def test_sharded_midsize_capacity_parity():
     want = op.overlap_self(reads, CFG)
     assert got == want
     assert len(got) > 300  # deep coverage must produce real overlap mass
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_wide_path_parity(small_reads, ndev):
+    """The join-once wide vote under the mesh (GSPMD-partitioned stage
+    A/B/C with header-id suppression) must give the oracle line set;
+    the spy pins that the wide driver actually ran."""
+    reads = small_reads
+    mesh = sharded.make_mesh(jax.devices()[:ndev])
+    ov = sharded.ShardedOverlapper(mesh, CFG)
+    ov.WIDE_STORE_MIN = 4  # force the wide route on the tiny store
+    called = {}
+    orig = ov._find_matches_wide
+
+    def spy(*a, **k):
+        called["wide"] = True
+        return orig(*a, **k)
+
+    ov._find_matches_wide = spy
+    got = ov.overlap_self(reads)
+    want = op.overlap_self(reads, CFG)
+    assert called.get("wide")
+    assert got == want
+
+
+def test_sharded_wide_midsize_parity():
+    """Mid-size wide-path run on an 8-device mesh: deep enough for real
+    residual/fallback machinery; line-set equality vs the oracle."""
+    rng = np.random.default_rng(123)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    glen = 20_000
+    genome = rng.integers(0, 4, glen + 1200)
+    reads = []
+    for _ in range(400):
+        pos = int(rng.integers(0, glen))
+        L = int(rng.integers(500, 1100))
+        raw = genome[pos:pos + int(L * 1.15)]
+        r = rng.random(len(raw))
+        keep = r >= 0.03
+        sub = (r >= 0.03) & (r < 0.06)
+        out = np.where(sub, rng.integers(0, 4, len(raw)), raw)[keep][:L]
+        reads.append(bytes(bases[out]).decode())
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    ov = sharded.ShardedOverlapper(mesh, CFG)
+    ov.WIDE_STORE_MIN = 4
+    got = ov.overlap_self(reads)
+    want = op.overlap_self(reads, CFG)
+    assert got == want
+    assert len(got) > 150
