@@ -2111,8 +2111,18 @@ class TpuOverlapper:
                 # bound device memory by processing queries in slabs
                 # (votes and suppression are per-query independent, so
                 # slab partitioning is exact); the candidate buffer is
-                # the big per-slab allocation: ~H*span*4 bytes per query
+                # the big per-slab allocation: ~H*span*4 bytes per query.
+                # Slabs are a pure recompute tax (stage A re-joins per
+                # slab), so take ONE slab whenever the candidate buffer
+                # fits the budget even at a span escalation (VERDICT r4
+                # item 3: the 100k regime re-paid stage A 3x)
+                from ..index import joinvote as JV
+
+                H = self.cfg["num_hashes"]
+                per_q = (H * JV.SPANS[0] + JV.E_RESID) * 4
                 slab = self.WIDE_QUERY_SLAB
+                if len(q_sel) * per_q * 2 <= self.WIDE_CAND_BUDGET:
+                    slab = max(slab, len(q_sel))
                 if len(q_sel) <= slab:
                     return self._find_matches_wide(index, queries, q_sel,
                                                    to_self)
@@ -2136,6 +2146,9 @@ class TpuOverlapper:
     # queries per wide-path slab: keeps the [slab, H*span] candidate
     # buffer ~0.7GB and the join width bounded at very large stores
     WIDE_QUERY_SLAB = 40960
+    # single-slab budget: one slab is taken when the candidate buffer
+    # (with 2x headroom for a span-16 escalation) fits this many bytes
+    WIDE_CAND_BUDGET = 4 << 30
 
     def _wide_path_ok(self, store, queries, to_self) -> bool:
         """The wide path's row-compare suppression assumes default

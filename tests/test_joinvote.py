@@ -142,6 +142,7 @@ def test_wide_query_slabs_exact():
     expect = ref.overlap_self(reads)
     ov = _wide()
     ov.WIDE_QUERY_SLAB = 64  # force several slabs
+    ov.WIDE_CAND_BUDGET = 0  # disable the single-slab upgrade
     got = ov.overlap_self(reads)
     assert set(got) == set(expect)
     assert len(got) == len(expect)
