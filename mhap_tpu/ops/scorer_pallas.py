@@ -40,7 +40,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
 
+# vreg-aligned lane rotations as slice-concats instead of pltpu.roll
+# (off until measured faster on the chip; MHAP_SCORER_SLICE_ROLL=1 to A/B)
+_SLICE_ROLL = os.environ.get("MHAP_SCORER_SLICE_ROLL", "0") == "1"
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -125,16 +129,29 @@ def _make_kernel(S: int, n: int, W: int, max_span: int, m_c: int, s_c: int,
         nk1 = scal_ref[:, 2:3]
         nk2 = scal_ref[:, 3:4]
 
+        def _rot(x, left_by: int, width: int):
+            """Lane rotation.  For vreg-aligned distances (multiples of
+            the 128-lane vector width) a concat of two lane slices is
+            pure vreg moves -- measured vs pltpu.roll via
+            MHAP_SCORER_SLICE_ROLL (scripts/bench_scorer_stages.py);
+            sub-vreg distances keep the roll primitive."""
+            if (_SLICE_ROLL and left_by % 128 == 0 and width % 128 == 0
+                    and 0 < left_by < width):
+                return jnp.concatenate(
+                    [x[:, left_by:], x[:, :left_by]], axis=1)
+            return pltpu.roll(x, width - left_by, 1)
+
         def rollL(x, d, width):
             # Mosaic cannot rotate i1 vectors: round-trip bools via i32
             if x.dtype == jnp.bool_:
-                return pltpu.roll(x.astype(I32), width - d, 1) != 0
-            return pltpu.roll(x, width - d, 1)
+                return _rot(x.astype(I32), d, width) != 0
+            return _rot(x, d, width)
 
         def rollR(x, d):
+            width = x.shape[1]
             if x.dtype == jnp.bool_:
-                return pltpu.roll(x.astype(I32), d, 1) != 0
-            return pltpu.roll(x, d, 1)
+                return _rot(x.astype(I32), width - d, width) != 0
+            return _rot(x, width - d, width)
 
         # ---- 1. packed 2-limb keys; bitonic arrangement ----
         pad_a = laneS >= m1
