@@ -644,6 +644,38 @@ class TpuOverlapper:
             num_hashes=H, w_max=w_max)
         return np.asarray(mh), nv > 0
 
+    # parallel shape warm-up (off by default until the compile-server
+    # concurrency probe, scripts/compile_parallel_probe.py, confirms it)
+    WARM_PARALLEL = os.environ.get("MHAP_WARM_PARALLEL", "0") == "1"
+
+    def _warm_sketch_shapes(self, wlens, step, R_in, cap) -> dict:
+        """Kick off compiles of this batch's sketch-chunk shapes on
+        worker threads (dummy zero inputs; outputs discarded).  The
+        first shape compiles inline as before; the caller joins each
+        shape's future before its first real dispatch, so no signature
+        ever has two in-flight compiles."""
+        if (not self.WARM_PARALLEL or len(wlens) < 2
+                or jax.default_backend() == "cpu"
+                or type(self)._sketch_chunk_rc
+                is not TpuOverlapper._sketch_chunk_rc):
+            return {}
+        import concurrent.futures as _cf
+
+        pool = getattr(TpuOverlapper, "_warm_pool", None)
+        if pool is None:
+            TpuOverlapper._warm_pool = pool = _cf.ThreadPoolExecutor(6)
+
+        def warm(wlen):
+            handle = (jnp.zeros((R_in, wlen // 4), jnp.uint8),
+                      jnp.zeros((R_in,), jnp.int32))
+            if step == 2:
+                out = self._sketch_chunk_rc(handle, 0, cap, R_in)
+            else:
+                out = self._sketch_chunk(handle, 0, cap, R_in * step)
+            jax.block_until_ready(out["minhash"])
+
+        return {w: pool.submit(warm, w) for w in wlens[1:]}
+
     def _sketch_rows_host_filt(self, codes_list) -> np.ndarray:
         """Exact host filtered stage-1 sketch of a few code rows (the
         device flow's escape hatch when a k-mer count exceeds the weight
@@ -931,7 +963,16 @@ class TpuOverlapper:
             wlen = min(blen, max(256, -(-wmax // 512) * 512))
             for s0 in range(0, len(idxs_all), SPLIT):
                 sub_buckets.append((wlen, idxs_all[s0:s0 + SPLIT]))
+        # parallel warm: compile the later bucket shapes on worker
+        # threads while the first bucket's packing/dispatch proceeds --
+        # the remote compile server handles concurrent requests, so warm
+        # wall time approaches max(shape compiles) instead of their sum
+        warm_futs = self._warm_sketch_shapes(
+            sorted({w for w, _ in sub_buckets}), step, R_in, caps[0])
         for blen, idxs in sub_buckets:
+            f = warm_futs.pop(blen, None)
+            if f is not None:
+                f.result()  # compile done (or raised) before dispatch
             nb = len(idxs)
             nb_pad = ((nb + R_in - 1) // R_in) * R_in
             codes = np.zeros((nb_pad, blen), np.uint8)
