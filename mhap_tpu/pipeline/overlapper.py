@@ -2339,8 +2339,8 @@ class TpuOverlapper:
         hid_dev = self._wide_hid(store)
         lines: list[str] = []
         B = JV.DIRECT_NQ
-        for s in range(0, len(q_rows), B):
-            batch = np.asarray(q_rows[s:s + B], np.int32)
+
+        def run_batch(batch):
             rows = np.full(B, -1, np.int32)
             rows[:len(batch)] = batch
             pq, pc, st = JV.direct_vote(mh_c, mh_q, jnp.asarray(rows),
@@ -2349,21 +2349,34 @@ class TpuOverlapper:
             st_np = np.asarray(st)
             total = int(st_np[0])
             if total > min(JV.DIRECT_PAIR_CAP, B * len(store)):
-                # beyond the pair cap (pathological): exact host route,
-                # which reports its own stats -- do NOT also add the
-                # direct vote's (they would triple-count the batch)
+                if len(batch) > 1:
+                    # pair-buffer overflow: split the batch -- a SINGLE
+                    # query's pairs are bounded by the store size, which
+                    # is under the cap on any wide store this path
+                    # serves, so the recursion always terminates before
+                    # the old host-postings rebuild (~6GB of dicts and
+                    # a minute of wall per run at 40k) becomes necessary
+                    h = len(batch) // 2
+                    run_batch(batch[:h])
+                    run_batch(batch[h:])
+                    return
+                # single query beyond the cap (store > cap rows only):
+                # exact host route, which reports its own stats
                 postings = getattr(store, "_host_postings", None)
                 if postings is None:
                     postings = self.build_postings(store)
                     store._host_postings = postings
-                lines += self._find_matches_host(
+                lines.extend(self._find_matches_host(
                     ("host", postings, store),
-                    queries, batch.astype(np.int64), to_self)
-                continue
+                    queries, batch.astype(np.int64), to_self))
+                return
             self.stats["elements_processed"] += int(st_np[1])
             self.stats["sequences_hit"] += int(st_np[2])
-            lines += self._score_wide(queries, store, pq, pc, total,
-                                      np.zeros(0, np.int32), set())
+            lines.extend(self._score_wide(queries, store, pq, pc, total,
+                                          np.zeros(0, np.int32), set()))
+
+        for s in range(0, len(q_rows), B):
+            run_batch(np.asarray(q_rows[s:s + B], np.int32))
         return lines
 
     WIDE_SCORE_T = 32768  # fixed score-slice lane count (one compile;
