@@ -279,6 +279,12 @@ def _peak_rss_mb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
+def _prog(msg):
+    """Stderr breadcrumb (multi-hour configs are otherwise opaque)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def bench_config_scale40k(n_reads=40_000, verify_native=False):
     """Reference memory-guidance scale: 40k sequences on one chip
     (quickstart.rst:23 says 32GB RAM ~ 40K sequences for the JVM).
@@ -292,6 +298,7 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
+    _prog(f"scale40k: warm {warm:.0f}s, {len(lines)} overlaps")
     # two settling runs (compile stragglers), then steady = MEDIAN of 3
     # timed runs with the full spread recorded (VERDICT r3 item 2:
     # steady must be an honest central estimate, not a best case)
@@ -300,11 +307,13 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
         t0 = time.perf_counter()
         ov.overlap_self(reads)
         settle.append(round(time.perf_counter() - t0, 1))
+        _prog(f"scale40k: settle {settle[-1]}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         lines = ov.overlap_self(reads)
         times.append(time.perf_counter() - t0)
+        _prog(f"scale40k: steady {times[-1]:.1f}s")
     steady = sorted(times)[1]
     out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
            "warm_s": round(warm, 1), "settle_s": settle,
@@ -349,19 +358,23 @@ def bench_config_repeat40k(n_reads=40_000, verify_native=False):
             fc = FrequencyCounts(f, 1e-5, 0.9, 0, False, 3.0, True)
         vf = VectorFrequencyFilter(fc)
         ov = TpuOverlapper(kmer_filter=vf)
+        _prog(f"repeat40k: reads+filter ready ({n_rows} filter rows)")
         t0 = time.perf_counter()
         lines = ov.overlap_self(reads)
         warm = time.perf_counter() - t0
+        _prog(f"repeat40k: warm {warm:.0f}s, {len(lines)} overlaps")
         settle = []
         for _ in range(2):
             t0 = time.perf_counter()
             ov.overlap_self(reads)
             settle.append(round(time.perf_counter() - t0, 1))
+            _prog(f"repeat40k: settle {settle[-1]}s")
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
             lines = ov.overlap_self(reads)
             times.append(time.perf_counter() - t0)
+            _prog(f"repeat40k: steady {times[-1]:.1f}s")
         steady = sorted(times)[1]
         out = {"n_reads": n_reads, "filter_kmers": n_rows,
                "reads_per_s": round(n_reads / steady, 1),
@@ -394,14 +407,17 @@ def bench_config_scale100k(n_reads=100_000, verify_native=False):
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     warm = time.perf_counter() - t0
+    _prog(f"scale100k: warm {warm:.0f}s, {len(lines)} overlaps")
     t0 = time.perf_counter()
     lines = ov.overlap_self(reads)
     settle = round(time.perf_counter() - t0, 1)
+    _prog(f"scale100k: settle {settle}s")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         lines = ov.overlap_self(reads)
         times.append(time.perf_counter() - t0)
+        _prog(f"scale100k: steady {times[-1]:.1f}s")
     steady = sorted(times)[1]
     out = {"n_reads": n_reads, "reads_per_s": round(n_reads / steady, 1),
            "warm_s": round(warm, 1), "settle_s": [settle],
@@ -483,11 +499,14 @@ def bench_native(reads, threads=None, extra=(), return_lines=False):
             f.write(f">r{i}\n{r}\n")
         path = f.name
     try:
+        _prog(f"native: {len(reads)} reads on {threads} threads "
+              f"{list(extra)}")
         t0 = time.perf_counter()
         out = subprocess.run(
             [binary, "-s", path, "--num-threads", str(threads), *extra],
             capture_output=True, text=True, check=True)
         dt = time.perf_counter() - t0
+        _prog(f"native: done in {dt:.0f}s")
     finally:
         os.unlink(path)
     lines = out.stdout.strip().splitlines()
