@@ -472,8 +472,11 @@ def vote_chunk(cand_slice, q_store_rows, q_valid, hid=None, *, mm: int,
     return pairs_q, pairs_c, stats
 
 
-DIRECT_NQ = 64        # direct-vote batch (padded; one compile)
-DIRECT_PAIR_CAP = 1 << 17
+DIRECT_NQ = 512       # direct-vote batch (padded; one compile).  Wide
+#                       batches amortize the per-batch stats sync and
+#                       the [N, H] sketch stream: repeat-heavy datasets
+#                       send thousands of queries down this path
+DIRECT_PAIR_CAP = 1 << 20
 
 
 @partial(jax.jit, static_argnames=("mm", "to_self"))
