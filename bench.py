@@ -211,8 +211,8 @@ def bench_config_lognormal(n_reads=10_000, verify_native=False):
                "ppv": round(roc.ppv, 4), "ppv_dp": "device_sw_batched"}
         if verify_native:
             t0 = time.perf_counter()
-            _, n_native, threads, nat_sha, nat_lines = bench_native(
-                reads, return_lines=True)
+            _, n_native, threads, nat_sha, nat_times, nat_lines = \
+                bench_native(reads, return_lines=True)
             out["native_s"] = round(time.perf_counter() - t0, 1)
             out["native_overlaps"] = n_native
             out["lineset_sha256_match"] = nat_sha == lineset_sha256(lines)
@@ -321,9 +321,10 @@ def bench_config_scale40k(n_reads=40_000, verify_native=False):
            "steady_runs_s": [round(t, 2) for t in times],
            "overlaps": len(lines), "peak_rss_mb": round(_peak_rss_mb(), 1)}
     if verify_native:
-        t0 = time.perf_counter()
-        _, n_native, threads, nat_sha = bench_native(reads)
-        out["native_s"] = round(time.perf_counter() - t0, 1)
+        _, n_native, threads, nat_sha, nat_times = bench_native(
+            reads, trials=3)
+        out["native_s"] = sorted(nat_times)[1]
+        out["native_runs_s"] = nat_times
         out["native_overlaps"] = n_native
         out["native_threads"] = threads
         out["overlaps_match"] = n_native == len(lines)
@@ -384,10 +385,10 @@ def bench_config_repeat40k(n_reads=40_000, verify_native=False):
                "overlaps": len(lines),
                "peak_rss_mb": round(_peak_rss_mb(), 1)}
         if verify_native:
-            t0 = time.perf_counter()
-            _, n_native, threads, nat_sha = bench_native(
+            _, n_native, threads, nat_sha, nat_times = bench_native(
                 reads, extra=["-f", fpath])
-            out["native_s"] = round(time.perf_counter() - t0, 1)
+            out["native_s"] = nat_times[0]
+            out["native_runs_s"] = nat_times
             out["native_overlaps"] = n_native
             out["native_threads"] = threads
             out["overlaps_match"] = n_native == len(lines)
@@ -428,9 +429,10 @@ def bench_config_scale100k(n_reads=100_000, verify_native=False):
            "reference_guidance": "32GB JVM RAM ~ 40K sequences "
                                  "(quickstart.rst:23)"}
     if verify_native:
-        t0 = time.perf_counter()
-        _, n_native, threads, nat_sha = bench_native(reads)
-        out["native_s"] = round(time.perf_counter() - t0, 1)
+        _, n_native, threads, nat_sha, nat_times = bench_native(
+            reads, trials=3)
+        out["native_s"] = sorted(nat_times)[1]
+        out["native_runs_s"] = nat_times
         out["native_overlaps"] = n_native
         out["native_threads"] = threads
         out["overlaps_match"] = n_native == len(lines)
@@ -479,12 +481,17 @@ def lineset_sha256(lines):
         "\n".join(sorted(lines)).encode("utf-8")).hexdigest()
 
 
-def bench_native(reads, threads=None, extra=(), return_lines=False):
+def bench_native(reads, threads=None, extra=(), return_lines=False,
+                 trials=1):
     """Time the native multithreaded CPU pipeline (the Java-reference
     stand-in: same algorithm + data structures as the reference, compiled,
     all host cores; parity-tested in tests/test_native_cpu.py).
 
-    Returns (reads/s, #lines, threads, lineset_sha256[, lines])."""
+    ``trials`` > 1 reports the MEDIAN wall time (native run-to-run
+    spread measured ~60-92s at 40k; a single lucky run would overstate
+    the device ratio -- the same honesty rule the device side follows).
+    Returns (reads/s, #lines, threads, lineset_sha256[, trial times]
+    [, lines])."""
     import subprocess
     import tempfile
 
@@ -499,18 +506,23 @@ def bench_native(reads, threads=None, extra=(), return_lines=False):
             f.write(f">r{i}\n{r}\n")
         path = f.name
     try:
-        _prog(f"native: {len(reads)} reads on {threads} threads "
-              f"{list(extra)}")
-        t0 = time.perf_counter()
-        out = subprocess.run(
-            [binary, "-s", path, "--num-threads", str(threads), *extra],
-            capture_output=True, text=True, check=True)
-        dt = time.perf_counter() - t0
-        _prog(f"native: done in {dt:.0f}s")
+        times = []
+        for t in range(trials):
+            _prog(f"native: {len(reads)} reads on {threads} threads "
+                  f"{list(extra)} trial {t + 1}/{trials}")
+            t0 = time.perf_counter()
+            out = subprocess.run(
+                [binary, "-s", path, "--num-threads", str(threads),
+                 *extra],
+                capture_output=True, text=True, check=True)
+            times.append(time.perf_counter() - t0)
+            _prog(f"native: done in {times[-1]:.0f}s")
+        dt = sorted(times)[len(times) // 2]
     finally:
         os.unlink(path)
     lines = out.stdout.strip().splitlines()
-    ret = (len(reads) / dt, len(lines), threads, lineset_sha256(lines))
+    ret = (len(reads) / dt, len(lines), threads, lineset_sha256(lines),
+           [round(t, 1) for t in times])
     return ret + (lines,) if return_lines else ret
 
 
@@ -520,7 +532,7 @@ def main():
         # as the device run (reads/s is not size-invariant: candidate work
         # grows with coverage)
         reads = make_reads()
-        rps, n_lines, threads, nat_sha = bench_native(reads)
+        rps, n_lines, threads, nat_sha, _times = bench_native(reads)
         data = {"native_reads_per_s": rps, "n_reads": len(reads),
                 "read_len": READ_LEN, "seed": SEED, "overlaps": n_lines,
                 "threads": threads, "lineset_sha256": nat_sha,
