@@ -470,7 +470,7 @@ def _make_kernel(S: int, n: int, W: int, max_span: int, m_c: int, s_c: int,
                                    "block_rows", "max_span", "interpret"))
 def score_pairs_pallas(a_h, a_p, a_m, a_nk, b_hr, b_pr, b_m, b_nk, *,
                        max_shift_mul: tuple, sketch_size: int,
-                       block_rows: int = 16, max_span: int = 8,
+                       block_rows: int = 32, max_span: int = 8,
                        interpret: bool = False):
     """Batched fused scorer.  b_hr/b_pr are ROW-REVERSED ordered-sketch
     columns (entry j = slot S-1-j).  Returns a dict of [T] arrays:
