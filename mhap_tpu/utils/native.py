@@ -42,7 +42,31 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_void_p,
     ]
     lib.mhap_sw_align.restype = ctypes.c_int
+    lib.mhap_format_m4.argtypes = [ctypes.c_void_p] * 12 + [
+        ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong]
+    lib.mhap_format_m4.restype = ctypes.c_longlong
     return lib
+
+
+def format_m4(qid, cid, err, raw, qrc, a1, a2, ql, crc, b1, b2, cl):
+    """Bulk M4 line formatting (MatchResult.java:98-113) in C: ~0.1
+    us/line vs ~1.1 for the Python %-format loop -- the host wall of
+    repeat-heavy runs (tens of millions of lines).  Byte-identical
+    output (tests/test_format_native.py).  Returns a list[str]."""
+    n = len(qid)
+    if n == 0:
+        return []
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)
+    f64 = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+    cols = (i64(qid), i64(cid), f64(err), f64(raw), i32(qrc), i64(a1),
+            i64(a2), i64(ql), i32(crc), i64(b1), i64(b2), i64(cl))
+    buf = np.empty(n * 192, dtype=np.uint8)
+    total = _lib().mhap_format_m4(
+        *[c.ctypes.data for c in cols], n, buf.ctypes.data, buf.size)
+    if total < 0:
+        raise RuntimeError("mhap_format_m4 buffer overflow")
+    return buf[:total].tobytes().decode("ascii").split("\n")
 
 
 def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
