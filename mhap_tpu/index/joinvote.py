@@ -528,6 +528,87 @@ def direct_vote(store_mh, query_mh, rows, hid=None, *, mm: int,
     return pairs_q, pairs_c, jnp.stack([total, hits, distinct])
 
 
+SUBSET_MIN_Q = 32     # below this many fallback queries the dense
+#                       full-store vote is cheaper than the membership
+#                       pass + subset gather
+SUBSET_MAX_FRAC = 0.75  # subset must cut the candidate axis by >= 25%
+#                       to pay for the extra gather/compile
+SUBSET_PAD = 4096     # candidate-subset rows pad to this quantum (one
+#                       compile per quantum; power-of-two padding would
+#                       double Ns at repeat40k scale and eat the win)
+
+
+@jax.jit
+def candidate_member_mask(store_mh, q_vals_sorted):
+    """mask[c] = does store row c share >= 1 BAND-ALIGNED sketch value
+    with any fallback query?  A direct vote (direct_vote docstring) is
+    votes[q, c] = #bands h with store_mh[c, h] == q_mh[q, h]; a row with
+    mask False therefore has ZERO votes against every fallback query, so
+    restricting the dense vote's candidate axis to mask rows is EXACT --
+    the repeat regime's fallback queries are family reads whose
+    candidates live almost entirely inside the repeat family, a ~2-3x
+    smaller axis (NOTES.md gap analysis).
+
+    q_vals_sorted [B, H]: fallback queries' sketch values, sorted per
+    band column (pad by REPEATING a real query row -- duplicates cannot
+    change set membership).  Cost: log2(B) binary-search passes over the
+    [N, H] sketch matrix, ~0.3s at repeat40k vs the ~2x saved on the
+    ~350s dense vote."""
+    B = q_vals_sorted.shape[0]
+
+    def per_band(qcol, scol):
+        pos = jnp.clip(jnp.searchsorted(qcol, scol), 0, B - 1)
+        return qcol[pos] == scol
+
+    member = jax.vmap(per_band, in_axes=(1, 1), out_axes=1)(
+        q_vals_sorted, store_mh)                        # [N, H]
+    return jnp.any(member, axis=1)
+
+
+@partial(jax.jit, static_argnames=("mm", "to_self"))
+def direct_vote_subset(sub_mh, cand_rows, query_mh, rows, hid=None, *,
+                       mm: int, to_self: bool):
+    """direct_vote restricted to a candidate subset: sub_mh [Ns, H] =
+    store_mh gathered at cand_rows [Ns] (true store rows, -1 = padding).
+    Exact when cand_rows covers candidate_member_mask's rows: excluded
+    rows have zero votes, so pairs, hit mass and distinct counts all
+    match the full-store vote (stats parity included)."""
+    Ns = sub_mh.shape[0]
+    B = rows.shape[0]
+    valid = rows >= 0
+    q = query_mh[jnp.clip(rows, 0, query_mh.shape[0] - 1)]   # [B, H]
+    votes = jnp.sum((sub_mh[None, :, :] == q[:, None, :]),
+                    axis=-1, dtype=I32)                       # [B, Ns]
+    votes = jnp.where(valid[:, None], votes, 0)
+    cvalid = cand_rows >= 0
+    votes = jnp.where(cvalid[None, :], votes, 0)
+    if hid is not None:
+        hid_c = jnp.where(
+            cvalid, hid[jnp.clip(cand_rows, 0, hid.shape[0] - 1)], 0)
+        votes = jnp.where(hid_c[None, :] > 0, votes, 0)
+    hits = jnp.sum(votes)
+    distinct = jnp.sum(votes > 0)
+    keep = votes >= mm
+    crow = jnp.broadcast_to(cand_rows[None, :], (B, Ns))
+    if hid is not None:
+        if to_self:
+            hid_q = hid[jnp.clip(rows, 0, hid.shape[0] - 1)]
+            keep &= hid_c[None, :] < hid_q[:, None]
+    elif to_self:
+        keep &= cand_rows[None, :] < rows[:, None]
+    total = jnp.sum(keep).astype(I32)
+    flat = keep.reshape(-1)
+    idx = jnp.arange(B * Ns, dtype=I32)
+    key = jnp.where(flat, idx, jnp.iinfo(jnp.int32).max)
+    qrow = jnp.broadcast_to(rows[:, None], (B, Ns)).reshape(-1)
+    _, s_q, s_c = jax.lax.sort((key, qrow, crow.reshape(-1)), num_keys=1)
+    cap = min(DIRECT_PAIR_CAP, B * Ns)
+    in_cnt = jnp.arange(cap, dtype=I32) < total
+    pairs_q = jnp.where(in_cnt, s_q[:cap], -1)
+    pairs_c = jnp.where(in_cnt, s_c[:cap], -1)
+    return pairs_q, pairs_c, jnp.stack([total, hits, distinct])
+
+
 @partial(jax.jit, static_argnames=("total_cap",))
 def compact_pairs(pairs_q_all, pairs_c_all, *, total_cap: int):
     """Concat + compact per-chunk pair buffers to one run buffer."""

@@ -2369,15 +2369,50 @@ class TpuOverlapper:
         lines: list[str] = []
         B = JV.DIRECT_NQ
 
+        # Family-subset restriction (EXACT): rows sharing no band-aligned
+        # sketch value with any fallback query have zero votes against
+        # all of them, so the dense vote only needs the member rows --
+        # in the repeat regime that is roughly the repeat family, a
+        # ~2-3x smaller candidate axis on the dominant wall
+        # (candidate_member_mask docstring; NOTES.md gap analysis)
+        sub_mh = cand_dev = None
+        n_sub = len(store)
+        force = getattr(self, "direct_subset", None)
+        # mm == 0 keeps zero-vote rows: the subset would be inexact
+        if mm >= 1 and (force or (force is None
+                                  and len(q_rows) >= JV.SUBSET_MIN_Q)):
+            bp = max(256, 1 << int(len(q_rows) - 1).bit_length())
+            rows_pad = np.full(bp, int(q_rows[0]), np.int32)
+            rows_pad[:len(q_rows)] = q_rows
+            q_vals = jnp.sort(mh_q[jnp.asarray(rows_pad)], axis=0)
+            mask = np.asarray(JV.candidate_member_mask(mh_c, q_vals))
+            sub = np.nonzero(mask)[0].astype(np.int32)
+            if force or len(sub) <= JV.SUBSET_MAX_FRAC * len(mask):
+                quantum = (JV.SUBSET_PAD
+                           if jax.default_backend() != "cpu" else 256)
+                n_sub = max(quantum, -(-len(sub) // quantum) * quantum)
+                rows_sub = np.full(n_sub, -1, np.int32)
+                rows_sub[:len(sub)] = sub
+                cand_dev = jnp.asarray(rows_sub)
+                sub_mh = jnp.take(mh_c, jnp.clip(cand_dev, 0,
+                                                 mh_c.shape[0] - 1),
+                                  axis=0)
+                self.stats["direct_subset_rows"] = len(sub)
+
         def run_batch(batch):
             rows = np.full(B, -1, np.int32)
             rows[:len(batch)] = batch
-            pq, pc, st = JV.direct_vote(mh_c, mh_q, jnp.asarray(rows),
-                                        hid_dev, mm=mm,
-                                        to_self=bool(to_self))
+            if sub_mh is not None:
+                pq, pc, st = JV.direct_vote_subset(
+                    sub_mh, cand_dev, mh_q, jnp.asarray(rows), hid_dev,
+                    mm=mm, to_self=bool(to_self))
+            else:
+                pq, pc, st = JV.direct_vote(mh_c, mh_q, jnp.asarray(rows),
+                                            hid_dev, mm=mm,
+                                            to_self=bool(to_self))
             st_np = np.asarray(st)
             total = int(st_np[0])
-            if total > min(JV.DIRECT_PAIR_CAP, B * len(store)):
+            if total > min(JV.DIRECT_PAIR_CAP, B * n_sub):
                 if len(batch) > 1:
                     # pair-buffer overflow: split the batch -- a SINGLE
                     # query's pairs are bounded by the store size, which

@@ -79,6 +79,83 @@ def test_wide_repeat_heavy_residuals():
         assert ov.stats[key] == ref_stats[key], (key, ov.stats, ref_stats)
 
 
+def test_direct_subset_matches_full_vote_unit():
+    """direct_vote_subset over candidate_member_mask's rows must return
+    the same pairs AND the same stats (hit mass, distinct) as the
+    full-store direct_vote -- the exactness claim of the family-subset
+    restriction (NOTES.md repeat-regime gap analysis)."""
+    import jax.numpy as jnp
+
+    from mhap_tpu.index import joinvote as JV
+
+    rng = np.random.default_rng(11)
+    N, H, B = 400, 32, 64
+    # low-cardinality values => dense shared-value structure (repeat-ish)
+    mh = rng.integers(0, 90, (N, H)).astype(np.int32)
+    rows = rng.choice(N, B, replace=False).astype(np.int32)
+    rows[-5:] = -1  # padding slots
+    mh_d = jnp.asarray(mh)
+    for mm in (1, 3):
+        pq, pc, st = JV.direct_vote(mh_d, mh_d, jnp.asarray(rows),
+                                    None, mm=mm, to_self=True)
+        q_real = rows[rows >= 0]
+        q_vals = jnp.sort(mh_d[jnp.asarray(q_real)], axis=0)
+        mask = np.asarray(JV.candidate_member_mask(mh_d, q_vals))
+        sub = np.nonzero(mask)[0].astype(np.int32)
+        ns = max(64, -(-len(sub) // 64) * 64)
+        rows_sub = np.full(ns, -1, np.int32)
+        rows_sub[:len(sub)] = sub
+        cand = jnp.asarray(rows_sub)
+        sub_mh = jnp.take(mh_d, jnp.clip(cand, 0, N - 1), axis=0)
+        spq, spc, sst = JV.direct_vote_subset(
+            sub_mh, cand, mh_d, jnp.asarray(rows), None,
+            mm=mm, to_self=True)
+        full = {(int(a), int(b))
+                for a, b in zip(np.asarray(pq), np.asarray(pc))
+                if a >= 0}
+        got = {(int(a), int(b))
+               for a, b in zip(np.asarray(spq), np.asarray(spc))
+               if a >= 0}
+        assert got == full
+        np.testing.assert_array_equal(np.asarray(sst), np.asarray(st))
+
+
+def test_wide_repeat_heavy_direct_subset_exact():
+    """End-to-end: the family-subset direct vote (forced) must give the
+    same line set AND final stats as the exact host path on the
+    repeat-heavy dataset -- and the subset kernel must actually fire."""
+    from mhap_tpu.index import joinvote as JV
+
+    genome = B.repeat_seeded_genome(16000, seed=9, repeat_len=900,
+                                    n_copies=12)
+    reads, _, _ = B.make_reads_placed(220, seed=9, lognormal=False,
+                                      genome=genome, genome_len=16000)
+    ref = TpuOverlapper()
+    ref.device_vote = False
+    expect = ref.overlap_self(reads)
+    ov = _wide()
+    ov.direct_subset = True  # force the subset path at any Q_fb
+    fired = {"subset": 0}
+    orig = JV.direct_vote_subset
+
+    def spy(*a, **k):
+        fired["subset"] += 1
+        return orig(*a, **k)
+
+    JV.direct_vote_subset = spy
+    try:
+        got = ov.overlap_self(reads)
+    finally:
+        JV.direct_vote_subset = orig
+    assert fired["subset"] > 0
+    assert set(got) == set(expect)
+    assert len(got) == len(expect)
+    for key in ("matches_processed", "sequences_searched",
+                "sequences_fully_compared", "elements_processed",
+                "sequences_hit"):
+        assert ov.stats[key] == ref.stats[key], (key, ov.stats, ref.stats)
+
+
 def test_wide_respects_min_store_length_guard():
     """msl != 0 must NOT take the wide path (its suppression shortcut
     assumes the default): the dispatcher falls back."""
