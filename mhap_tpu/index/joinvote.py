@@ -43,6 +43,7 @@ saturated/overflowed/monster queries are re-run on the exact host path.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from functools import partial
 
@@ -57,7 +58,9 @@ def _wp(label, t0):
     if not _WPROF:
         return t0
     t1 = time.perf_counter()
-    print(f"[wprof]   resid.{label}: {t1 - t0:.3f}s", flush=True)
+    # stderr: stdout carries M4 overlap lines in the CLI
+    print(f"[wprof]   resid.{label}: {t1 - t0:.3f}s",
+          file=sys.stderr, flush=True)
     return t1
 
 I32 = jnp.int32
@@ -528,9 +531,6 @@ def direct_vote(store_mh, query_mh, rows, hid=None, *, mm: int,
     return pairs_q, pairs_c, jnp.stack([total, hits, distinct])
 
 
-SUBSET_MIN_Q = 32     # below this many fallback queries the dense
-#                       full-store vote is cheaper than the membership
-#                       pass + subset gather
 SUBSET_MAX_FRAC = 0.75  # subset must cut the candidate axis by >= 25%
 #                       to pay for the extra gather/compile
 SUBSET_PAD = 4096     # candidate-subset rows pad to this quantum (one

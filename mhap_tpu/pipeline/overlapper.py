@@ -31,6 +31,7 @@ reads, so the base cap almost always holds).
 from __future__ import annotations
 
 import os
+import sys
 import time
 from functools import partial
 
@@ -54,7 +55,8 @@ def _wp(label: str, t0: float, *arrs) -> float:
         except AttributeError:
             pass
     t1 = time.perf_counter()
-    print(f"[wprof] {label}: {t1 - t0:.3f}s", flush=True)
+    # stderr: stdout carries M4 overlap lines in the CLI
+    print(f"[wprof] {label}: {t1 - t0:.3f}s", file=sys.stderr, flush=True)
     return t1
 
 from ..oracle import scorer as _oscorer
@@ -2369,18 +2371,22 @@ class TpuOverlapper:
         lines: list[str] = []
         B = JV.DIRECT_NQ
 
-        # Family-subset restriction (EXACT): rows sharing no band-aligned
-        # sketch value with any fallback query have zero votes against
-        # all of them, so the dense vote only needs the member rows --
-        # in the repeat regime that is roughly the repeat family, a
-        # ~2-3x smaller candidate axis on the dominant wall
-        # (candidate_member_mask docstring; NOTES.md gap analysis)
+        # Family-subset restriction (EXACT, opt-in): rows sharing no
+        # band-aligned sketch value with any fallback query have zero
+        # votes against all of them, so the dense vote only needs the
+        # member rows (candidate_member_mask docstring).  Measured on
+        # chip (DIRECTVOTE_r05.json + scripts/probe_subset_breakdown.py):
+        # the vote itself is ~97ms/batch at [512, 32768, 512] -- ~1s of
+        # the 118s direct stage at repeat-16k -- so halving the
+        # candidate axis is a wash (the stage is score/format-bound,
+        # not vote-bound).  Kept opt-in (ov.direct_subset = True) for
+        # stores where the vote DOES dominate; exactness is pinned by
+        # tests/test_joinvote.py either way.
         sub_mh = cand_dev = None
         n_sub = len(store)
         force = getattr(self, "direct_subset", None)
         # mm == 0 keeps zero-vote rows: the subset would be inexact
-        if mm >= 1 and (force or (force is None
-                                  and len(q_rows) >= JV.SUBSET_MIN_Q)):
+        if mm >= 1 and force:
             bp = max(256, 1 << int(len(q_rows) - 1).bit_length())
             rows_pad = np.full(bp, int(q_rows[0]), np.int32)
             rows_pad[:len(q_rows)] = q_rows
